@@ -1,0 +1,58 @@
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_EXAMPLE = pathlib.Path('/root/reference/example')
+
+# Tests run JAX on CPU with a virtual 8-device mesh so sharding paths are
+# exercised without TPU hardware (SURVEY.md section 7; driver validates the
+# real multi-chip path separately via __graft_entry__.dryrun_multichip).
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+VCLUST = REPO / 'vclust.py'
+
+DATA_DIR = REFERENCE_EXAMPLE
+FASTA_DIR = DATA_DIR / 'fna'
+FASTA_FILE = DATA_DIR / 'multifasta.fna'
+FASTAGZ_FILE = DATA_DIR / 'multifasta.fna.gz'
+GOLD_DIR = DATA_DIR / 'output'
+ANI_FILE = GOLD_DIR / 'ani.tsv'
+ALN_FILE = GOLD_DIR / 'ani.aln.tsv'
+IDS_FILE = GOLD_DIR / 'ani.ids.tsv'
+FLTR_FILE = GOLD_DIR / 'fltr.txt'
+DATASET_DIR = DATA_DIR / 'datasets'
+DATASET_FILES = [
+    DATASET_DIR / 'refseq.fna',
+    DATASET_DIR / 'genbank.fna',
+    DATASET_DIR / 'other.fna',
+]
+
+
+def run_vclust(args, **kwargs):
+    env = dict(os.environ)
+    env.setdefault('PYTHONPATH', str(REPO))
+    return subprocess.run(
+        [sys.executable, str(VCLUST), *[str(a) for a in args]],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, **kwargs)
+
+
+@pytest.fixture
+def test_dir(tmp_path):
+    return tmp_path
+
+
+@pytest.fixture(scope='session')
+def align_result(tmp_path_factory):
+    """Full all-vs-all align over the 12-genome example, run once."""
+    out = tmp_path_factory.mktemp('align')
+    p = run_vclust(['align', '-i', FASTA_FILE, '-o', out / 'ani.tsv',
+                    '--out-aln', out / 'ani.aln.tsv', '--outfmt', 'complete'])
+    assert p.returncode == 0, p.stderr
+    return out

@@ -1,0 +1,60 @@
+"""Tests for the JAX compute ops (run on CPU with a virtual device mesh)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, '.')
+
+from vclust_tpu.ops.prefilter import (shared_kmer_counts_host,
+                                      shared_kmer_counts_device, ani_shorter)
+
+
+def _random_sets(rng, n, lo=50, hi=500):
+    sets = []
+    for _ in range(n):
+        size = int(rng.integers(lo, hi))
+        sets.append(np.unique(rng.integers(0, 10_000, size).astype(
+            np.uint64)))
+    return sets
+
+
+def test_occupancy_matmul_matches_host():
+    rng = np.random.default_rng(42)
+    sets = _random_sets(rng, 12)
+    host = shared_kmer_counts_host(sets)
+    dev = shared_kmer_counts_device(sets, chunk_cols=4096)
+    assert np.array_equal(host, dev)
+
+
+def test_occupancy_matmul_chunked():
+    rng = np.random.default_rng(1)
+    sets = _random_sets(rng, 5, 500, 2000)
+    host = shared_kmer_counts_host(sets)
+    dev = shared_kmer_counts_device(sets, chunk_cols=256)   # many chunks
+    assert np.array_equal(host, dev)
+
+
+def test_ani_shorter_formula():
+    # c=1 (identical sets) -> ani_shorter = 1.
+    counts = np.array([[10, 10], [10, 10]])
+    sizes = np.array([10, 10])
+    s = ani_shorter(counts, sizes, 25)
+    assert s[0, 1] == 1.0
+    # Golden spot value (SURVEY.md section 2.4.5): containment from the
+    # example pair NC_010807.alt1 vs NC_010807 reproduces 0.998480.
+    # c = 2c/(1+c) inverse-checked through the formula with k=25.
+    c = 0.927887  # solves 1 + ln(2c/(1+c))/25 = 0.99848 approximately
+    shared = int(round(c * 1_000_000))
+    s = ani_shorter(np.array([[1_000_000, shared], [shared, 1_000_000]]),
+                    np.array([1_000_000, 1_200_000]), 25)
+    assert abs(s[0, 1] - 0.99848) < 1e-4
+
+
+def test_zero_overlap_filtered():
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    b = np.array([4, 5, 6], dtype=np.uint64)
+    counts = shared_kmer_counts_host([a, b])
+    s = ani_shorter(counts, np.array([3, 3]), 25)
+    assert counts[0, 1] == 0
+    assert s[0, 1] == -np.inf

@@ -82,6 +82,7 @@ def run_align(
     filter_threshold: float = 0.0,
     out_filters: Optional[Dict[str, float]] = None,
     keep_alignments: bool = False,
+    num_threads: Optional[int] = None,
 ) -> AlignResult:
     """Run the all-vs-all alignment over candidate pairs."""
     logger = get_logger()

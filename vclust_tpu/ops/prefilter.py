@@ -25,36 +25,31 @@ except Exception:  # pragma: no cover
     _HAVE_JAX = False
 
 
-@partial(jax.jit, static_argnames=('n_genomes', 'chunk_cols'))
-def _occupancy_matmul(gids, cids, n_genomes: int, chunk_cols: int):
-    """Scatter (genome, column) pairs into a {0,1} block and count
-    shared columns between all genome pairs via one MXU matmul.
-
-    Padding convention: invalid entries carry gids == n_genomes (a dump row
-    that is sliced off before the matmul).
-    """
-    occ = jnp.zeros((n_genomes + 1, chunk_cols), jnp.bfloat16)
-    occ = occ.at[gids, cids].set(1)
-    occ = occ[:n_genomes]
-    return jnp.dot(occ, occ.T, preferred_element_type=jnp.float32)
+@jax.jit
+def _occ_matmul_accum(counts, occ):
+    """counts += occ @ occ.T on the MXU (bf16 x bf16 -> f32, exact for
+    {0,1} blocks)."""
+    return counts + jnp.dot(occ, occ.T, preferred_element_type=jnp.float32)
 
 
-def shared_kmer_counts_device(kmer_sets, chunk_cols: int = 32768,
-                              pad_quantum: int = 65536) -> np.ndarray:
+def shared_kmer_counts_device(kmer_sets, chunk_cols: int = 131072
+                              ) -> np.ndarray:
     """Exact pairwise shared-k-mer counts for sorted distinct uint64 sets.
+
+    The {0,1} occupancy block for each chunk of the distinct-k-mer universe
+    is assembled host-side (O(nnz) writes; TPU scatter is slow) and the
+    G x G count accumulation runs as MXU matmuls on device, overlapping
+    transfer with compute via XLA's async dispatch.
 
     Returns an int64 (G, G) matrix whose diagonal is |kmers(g)|.
     """
     n = len(kmer_sets)
-    sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
     universe = np.unique(np.concatenate(
         [s for s in kmer_sets if len(s)] or [np.empty(0, np.uint64)]))
-    counts = np.zeros((n, n), dtype=np.float64)
     if len(universe) == 0:
-        return counts.astype(np.int64)
-    # Host-side sparse COO of the full occupancy: genome ids + column ids.
+        return np.zeros((n, n), dtype=np.int64)
     gids_all = np.concatenate(
         [np.full(len(s), g, dtype=np.int32) for g, s in enumerate(kmer_sets)])
     cids_all = np.concatenate(
@@ -64,19 +59,16 @@ def shared_kmer_counts_device(kmer_sets, chunk_cols: int = 32768,
     cids_all = cids_all[order]
     n_chunks = (len(universe) + chunk_cols - 1) // chunk_cols
     starts = np.searchsorted(cids_all, np.arange(n_chunks + 1) * chunk_cols)
+    counts = jnp.zeros((n, n), jnp.float32)
     for c in range(n_chunks):
         lo, hi = starts[c], starts[c + 1]
-        nnz = hi - lo
-        if nnz == 0:
+        if hi == lo:
             continue
-        # Pad nnz to a quantum to bound jit recompilations.
-        padded = ((nnz + pad_quantum - 1) // pad_quantum) * pad_quantum
-        gids = np.full(padded, n, dtype=np.int32)
-        cids = np.zeros(padded, dtype=np.int32)
-        gids[:nnz] = gids_all[lo:hi]
-        cids[:nnz] = (cids_all[lo:hi] - c * chunk_cols).astype(np.int32)
-        counts += np.asarray(_occupancy_matmul(gids, cids, n, chunk_cols))
-    return np.rint(counts).astype(np.int64)
+        occ = np.zeros((n, chunk_cols), dtype=np.float32)
+        occ[gids_all[lo:hi], cids_all[lo:hi] - c * chunk_cols] = 1.0
+        counts = _occ_matmul_accum(counts, jnp.asarray(
+            occ, dtype=jnp.bfloat16))
+    return np.rint(np.asarray(counts)).astype(np.int64)
 
 
 def shared_kmer_counts_host(kmer_sets) -> np.ndarray:
@@ -93,8 +85,12 @@ def shared_kmer_counts_host(kmer_sets) -> np.ndarray:
 
 
 def shared_kmer_counts(kmer_sets, backend: str = 'auto') -> np.ndarray:
-    if backend == 'host' or (backend == 'auto' and not _HAVE_JAX):
+    if backend == 'host':
         return shared_kmer_counts_host(kmer_sets)
+    if backend == 'auto':
+        # Tiny inputs: the host sort-merge beats one-off jit compilation.
+        if not _HAVE_JAX or len(kmer_sets) <= 32:
+            return shared_kmer_counts_host(kmer_sets)
     return shared_kmer_counts_device(kmer_sets)
 
 

@@ -23,7 +23,7 @@ def test_occupancy_matmul_matches_host():
     rng = np.random.default_rng(42)
     sets = _random_sets(rng, 12)
     host = shared_kmer_counts_host(sets)
-    dev = shared_kmer_counts_device(sets, chunk_cols=4096)
+    dev = shared_kmer_counts_device(sets)
     assert np.array_equal(host, dev)
 
 
@@ -31,7 +31,7 @@ def test_occupancy_matmul_chunked():
     rng = np.random.default_rng(1)
     sets = _random_sets(rng, 5, 500, 2000)
     host = shared_kmer_counts_host(sets)
-    dev = shared_kmer_counts_device(sets, chunk_cols=256)   # many chunks
+    dev = shared_kmer_counts_device(sets, rows_chunk=256)   # many chunks
     assert np.array_equal(host, dev)
 
 

@@ -25,50 +25,111 @@ except Exception:  # pragma: no cover
     _HAVE_JAX = False
 
 
-@jax.jit
-def _occ_matmul_accum(counts, occ):
-    """counts += occ @ occ.T on the MXU (bf16 x bf16 -> f32, exact for
-    {0,1} blocks)."""
-    return counts + jnp.dot(occ, occ.T, preferred_element_type=jnp.float32)
+@partial(jax.jit, static_argnames=('n_rows', 'n_pad_rows', 'n_genomes',
+                                   'nnz'))
+def _group_matmul_accum(counts, gids, sizes, n_rows: int, n_pad_rows: int,
+                        n_genomes: int, nnz: int):
+    """Scatter a chunk of the (shared-k-mer-group x genome) {0,1} occupancy
+    and accumulate counts += occ.T @ occ on the MXU.
+
+    bf16 inputs are exact for {0,1}; f32 accumulation is exact up to 2**24
+    shared k-mers per pair. To minimize host-link traffic only the genome
+    ids and per-group sizes are shipped; row ids are reconstructed on
+    device with a repeat. Padding: pad entries carry the dump column
+    `n_genomes` and are spread over pad rows beyond `n_rows` (a single hot
+    duplicated scatter index is pathologically slow on TPU); both dump
+    column and pad rows are sliced off before the matmul.
+    """
+    total_rows = n_rows + n_pad_rows
+    rows = jnp.repeat(jnp.arange(total_rows, dtype=jnp.int32), sizes,
+                      total_repeat_length=nnz)
+    occ = jnp.zeros((total_rows, n_genomes + 1), jnp.bfloat16)
+    occ = occ.at[rows, gids.astype(jnp.int32)].set(1)
+    occ = occ[:n_rows, :n_genomes]
+    return counts + jnp.dot(occ.T, occ, preferred_element_type=jnp.float32)
 
 
-def shared_kmer_counts_device(kmer_sets, chunk_cols: int = 131072
-                              ) -> np.ndarray:
+def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
+                              nnz_chunk: int = 524288) -> np.ndarray:
     """Exact pairwise shared-k-mer counts for sorted distinct uint64 sets.
 
-    The {0,1} occupancy block for each chunk of the distinct-k-mer universe
-    is assembled host-side (O(nnz) writes; TPU scatter is slow) and the
-    G x G count accumulation runs as MXU matmuls on device, overlapping
-    transfer with compute via XLA's async dispatch.
+    TPU-native variant of kmer-db's pattern-compressed all2all (SURVEY.md
+    section 2.4): only k-mers present in >= 2 genomes contribute to
+    off-diagonal counts, so the host groups the (k-mer, genome) incidence by
+    k-mer, drops singleton groups, and ships the surviving COO to the chip,
+    where each chunk is scattered into a {0,1} (groups x genomes) occupancy
+    block and reduced as one MXU matmul: counts += occ.T @ occ.
 
     Returns an int64 (G, G) matrix whose diagonal is |kmers(g)|.
     """
     n = len(kmer_sets)
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
-    universe = np.unique(np.concatenate(
-        [s for s in kmer_sets if len(s)] or [np.empty(0, np.uint64)]))
-    if len(universe) == 0:
+    sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
+    nonempty = [s for s in kmer_sets if len(s)]
+    if not nonempty:
         return np.zeros((n, n), dtype=np.int64)
-    gids_all = np.concatenate(
-        [np.full(len(s), g, dtype=np.int32) for g, s in enumerate(kmer_sets)])
-    cids_all = np.concatenate(
-        [np.searchsorted(universe, s).astype(np.int64) for s in kmer_sets])
-    order = np.argsort(cids_all, kind='stable')
-    gids_all = gids_all[order]
-    cids_all = cids_all[order]
-    n_chunks = (len(universe) + chunk_cols - 1) // chunk_cols
-    starts = np.searchsorted(cids_all, np.arange(n_chunks + 1) * chunk_cols)
+    all_kmers = np.concatenate(nonempty)
+    all_gids = np.concatenate(
+        [np.full(len(s), g, dtype=np.int32) for g, s in enumerate(kmer_sets)
+         if len(s)])
+    # Stable sort by k-mer: rows of each group stay in genome order.
+    order = np.argsort(all_kmers, kind='stable')
+    sk = all_kmers[order]
+    sg = all_gids[order]
+    del order
+    # Group boundaries; keep only k-mers shared by >= 2 genomes.
+    starts = np.empty(len(sk), dtype=bool)
+    starts[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=starts[1:])
+    del sk
+    start_idx = np.flatnonzero(starts)
+    lens = np.diff(start_idx, append=len(sg))
+    shared = lens >= 2
+    sg = sg[np.repeat(shared, lens)]
+    shared_lens = lens[shared].astype(np.int32)
+    del starts, start_idx, lens, shared
+    assert nnz_chunk >= n, 'nnz_chunk must be >= number of genomes'
     counts = jnp.zeros((n, n), jnp.float32)
-    for c in range(n_chunks):
-        lo, hi = starts[c], starts[c + 1]
-        if hi == lo:
-            continue
-        occ = np.zeros((n, chunk_cols), dtype=np.float32)
-        occ[gids_all[lo:hi], cids_all[lo:hi] - c * chunk_cols] = 1.0
-        counts = _occ_matmul_accum(counts, jnp.asarray(
-            occ, dtype=jnp.bfloat16))
-    return np.rint(np.asarray(counts)).astype(np.int64)
+    n_groups = len(shared_lens)
+    if n_groups:
+        # Entry offset of each group; chunks cut at every rows_chunk-th
+        # group and wherever nnz_chunk entries would be exceeded. Every
+        # chunk ships the same fixed-size buffers (one compiled kernel).
+        cum = np.concatenate([[0], np.cumsum(shared_lens, dtype=np.int64)])
+        g = 0
+        chunks = []
+        while g < n_groups:
+            g_end = min(g + rows_chunk, n_groups)
+            # largest group index with cum[end] - cum[g] <= nnz_chunk
+            g_end = min(g_end, int(np.searchsorted(
+                cum, cum[g] + nnz_chunk, side='right')) - 1)
+            assert g_end > g, 'group larger than nnz_chunk'
+            chunks.append((g, g_end))
+            g = g_end
+        # Pad "groups" of size 8 spread over extra rows (see kernel doc).
+        pad_group = 8
+        n_pad_rows = nnz_chunk // pad_group + 1
+        gids_buf = np.full(nnz_chunk, n, dtype=np.int32)
+        sizes_buf = np.zeros(rows_chunk + n_pad_rows, dtype=np.int32)
+        for g_lo, g_hi in chunks:
+            lo, hi = int(cum[g_lo]), int(cum[g_hi])
+            m = hi - lo
+            ng = g_hi - g_lo
+            gids_buf[:m] = sg[lo:hi]
+            gids_buf[m:] = n
+            sizes_buf[:] = 0
+            sizes_buf[:ng] = shared_lens[g_lo:g_hi]
+            pad = nnz_chunk - m
+            n_full = pad // pad_group
+            sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
+            sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
+            counts = _group_matmul_accum(
+                counts, jnp.asarray(gids_buf), jnp.asarray(sizes_buf),
+                rows_chunk, n_pad_rows, n, nnz_chunk)
+    counts = np.rint(np.asarray(counts)).astype(np.int64)
+    np.fill_diagonal(counts, sizes)
+    return counts
 
 
 def shared_kmer_counts_host(kmer_sets) -> np.ndarray:

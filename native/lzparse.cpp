@@ -1,0 +1,446 @@
+// Native LZ-parse alignment engine.
+//
+// C++ twin of vclust_tpu/ops/lz_parse_py.py (the Python reference
+// implementation is the semantic oracle; this engine must produce
+// bit-identical alignments). It fills the role lz-ani's C++ core plays in
+// the reference pipeline (contract: reference vclust.py:1058-1181) for the
+// host path; the TPU Pallas kernel covers the batched accelerator path.
+//
+// Exposed via a C ABI consumed with ctypes (vclust_tpu/ops/lz_native.py).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <unordered_map>
+
+namespace {
+
+struct Params {
+    int32_t mal, msl, mrd, mqd, reg, aw, am, ar;
+    int32_t gap_policy;        // 0=mismatch 1=prev 2=next 3=split
+    int32_t seed_back;
+    int32_t region_back_ext;   // bool
+    int32_t anchor_in_region;  // bool
+    int32_t anchor_preempt_len;
+    int32_t seed_window_qscale; // bool
+};
+
+struct Alignment {
+    int32_t qstart, qend, rstart, rend, nt_match, nt_mismatch, strand;
+};
+
+struct Factor { int32_t qs, qe, rs, re; };
+
+// k-mer index over one strand: value -> sorted positions.
+// Seeds (msl<=15) use a flat direct-mapped table; anchors use a hash map.
+struct KmerIndex {
+    int k;
+    std::unordered_map<uint64_t, std::vector<int32_t>> map;
+
+    void build(const int8_t* seq, int n, int kk) {
+        k = kk;
+        map.clear();
+        map.reserve(n);
+        if (n < k) return;
+        uint64_t val = 0;
+        const uint64_t mask = (k * 2 == 64) ? ~0ull
+                                            : ((1ull << (2 * k)) - 1);
+        int run_valid = 0;
+        for (int i = 0; i < n; ++i) {
+            int8_t c = seq[i];
+            val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+            run_valid = (c >= 4) ? 0 : run_valid + 1;
+            if (i >= k - 1 && run_valid >= k)
+                map[val].push_back(i - k + 1);
+        }
+    }
+    const std::vector<int32_t>* find(uint64_t v) const {
+        auto it = map.find(v);
+        return it == map.end() ? nullptr : &it->second;
+    }
+};
+
+struct RefIndex {
+    int n;
+    std::vector<int8_t> fwd, rc;
+    KmerIndex anchors[2], seeds[2];
+
+    void build(const int8_t* seq, int len, const Params& p) {
+        n = len;
+        fwd.assign(seq, seq + len);
+        rc.resize(len);
+        for (int i = 0; i < len; ++i) {
+            int8_t c = seq[len - 1 - i];
+            rc[i] = c >= 4 ? 4 : (int8_t)(3 - c);
+        }
+        anchors[0].build(fwd.data(), len, p.mal);
+        anchors[1].build(rc.data(), len, p.mal);
+        seeds[0].build(fwd.data(), len, p.msl);
+        seeds[1].build(rc.data(), len, p.msl);
+    }
+    const int8_t* strand(int s) const { return s == 0 ? fwd.data()
+                                                     : rc.data(); }
+};
+
+// Forward extension from an exact match of length klen at (qs, rs):
+// exact part, then approximate with a sliding mismatch window, trimmed so
+// the extension ends with a run of >= ar matches.
+// Mirrors lz_parse_py._extend.
+static void extend(const int8_t* q, int nq, const int8_t* r, int nr,
+                   int qs, int rs, int klen, const Params& p,
+                   int32_t* total_len, int32_t* nt_match) {
+    int i = qs + klen, j = rs + klen;
+    while (i < nq && j < nr && q[i] == r[j] && q[i] < 4) { ++i; ++j; }
+    int exact_len = i - qs;
+    // Approximate extension.
+    static thread_local std::vector<uint8_t> history;
+    history.clear();
+    int window_bits = 0;                 // mismatch flags, ring via shift
+    std::vector<uint8_t> win;            // window of last aw flags
+    win.clear();
+    int head = 0;                        // (simple deque via vector+index)
+    int mism = 0;
+    (void)window_bits;
+    while (i < nq && j < nr) {
+        bool is_match = (q[i] == r[j]) && q[i] < 4;
+        uint8_t flag = is_match ? 0 : 1;
+        win.push_back(flag);
+        mism += flag;
+        if ((int)win.size() - head > p.aw) { mism -= win[head]; ++head; }
+        if (mism > p.am) break;
+        history.push_back(is_match ? 1 : 0);
+        ++i; ++j;
+    }
+    // Trim so the approx part ends with a run of >= ar matches.
+    int run = 0, cut = 0;
+    for (int pos = (int)history.size() - 1; pos >= 0; --pos) {
+        if (history[pos]) {
+            if (++run >= p.ar) { cut = pos + run; break; }
+        } else run = 0;
+    }
+    int match_in_approx = 0;
+    for (int pos = 0; pos < cut; ++pos) match_in_approx += history[pos];
+    *total_len = exact_len + cut;
+    *nt_match = exact_len + match_in_approx;
+}
+
+// Mirrors lz_parse_py._best_candidate: longest factor; ties by
+// |j - expected| when expected >= 0, else by smallest j.
+static bool best_candidate(const int8_t* q, int nq, const int8_t* r, int nr,
+                           int i, const int32_t* positions, int n_pos,
+                           int klen, const Params& p, int64_t expected,
+                           int32_t* out_j, int32_t* out_len,
+                           int32_t* out_match) {
+    bool have = false;
+    int64_t best_len = -1, best_tie = 0;
+    int32_t bj = 0, blen = 0, bmatch = 0;
+    for (int t = 0; t < n_pos; ++t) {
+        int32_t j = positions[t];
+        int32_t total_len, nt_match;
+        extend(q, nq, r, nr, i, j, klen, p, &total_len, &nt_match);
+        int64_t tie = expected >= 0 ? std::llabs((int64_t)j - expected)
+                                    : (int64_t)j;
+        if (!have || total_len > best_len ||
+            (total_len == best_len && tie < best_tie)) {
+            have = true;
+            best_len = total_len; best_tie = tie;
+            bj = j; blen = total_len; bmatch = nt_match;
+        }
+    }
+    if (!have) return false;
+    *out_j = bj; *out_len = blen; *out_match = bmatch;
+    return true;
+}
+
+struct Region {
+    int strand = -1;
+    std::vector<Factor> factors;
+    int64_t nt_match = 0;
+    int32_t qlimit = -1;
+};
+
+class Parser {
+public:
+    Parser(const RefIndex* ri, const Params& p) : ri_(ri), p_(p) {}
+
+    void parse(const int8_t* q, int nq, std::vector<Alignment>* out) {
+        q_ = q; nq_ = nq;
+        out_ = out;
+        prev_factor_end_ = -1;
+        region_.strand = -1;
+        // Precompute query window values + validity for anchors and seeds.
+        compute_windows(p_.mal, &aval_, &avalid_);
+        compute_windows(p_.msl, &sval_, &svalid_);
+
+        int i = 0;
+        while (i < nq_) {
+            bool have_factor = false;
+            int f_strand = 0; int32_t f_j = 0, f_len = 0, f_match = 0;
+            if (region_.strand >= 0) {
+                int strand = region_.strand;
+                const Factor& last = region_.factors.back();
+                if (i - last.qe - 1 > p_.mqd) {
+                    close_region();
+                } else if (i < (int)svalid_.size() && svalid_[i]) {
+                    const auto* pos = ri_->seeds[strand].find(sval_[i]);
+                    if (pos) {
+                        int64_t expected = last.re + (i - last.qe);
+                        int64_t lo_v = last.re + 1 - p_.seed_back;
+                        int64_t width = p_.mrd +
+                            (p_.seed_window_qscale ? (i - last.qe) : 0);
+                        int64_t hi_v = last.re + 1 + width;
+                        auto lo = std::lower_bound(pos->begin(), pos->end(),
+                                                   (int32_t)lo_v);
+                        auto hi = std::lower_bound(pos->begin(), pos->end(),
+                                                   (int32_t)hi_v);
+                        if (lo < hi) {
+                            if (best_candidate(
+                                    q_, nq_, ri_->strand(strand), ri_->n,
+                                    i, &*lo, (int)(hi - lo), p_.msl, p_,
+                                    expected, &f_j, &f_len, &f_match)) {
+                                have_factor = true;
+                                f_strand = strand;
+                            }
+                        }
+                    }
+                }
+            }
+            if (!have_factor && i < (int)avalid_.size() && avalid_[i] &&
+                (region_.strand < 0 || p_.anchor_in_region)) {
+                // Anchor: consider both strands, longest extension wins.
+                bool have = false;
+                int b_strand = 0; int32_t b_j = 0, b_len = 0, b_match = 0;
+                for (int strand = 0; strand < 2; ++strand) {
+                    const auto* pos = ri_->anchors[strand].find(aval_[i]);
+                    if (!pos) continue;
+                    int32_t j, len, match;
+                    if (best_candidate(q_, nq_, ri_->strand(strand),
+                                       ri_->n, i, pos->data(),
+                                       (int)pos->size(), p_.mal, p_, -1,
+                                       &j, &len, &match)) {
+                        if (!have || len > b_len) {
+                            have = true;
+                            b_strand = strand; b_j = j; b_len = len;
+                            b_match = match;
+                        }
+                    }
+                }
+                if (have) {
+                    if (region_.strand < 0) {
+                        have_factor = true;
+                    } else {
+                        bool reachable = false;
+                        if (b_strand == region_.strand) {
+                            const Factor& last = region_.factors.back();
+                            int64_t gap_r = (int64_t)b_j - last.re - 1;
+                            int64_t width = p_.mrd +
+                                (p_.seed_window_qscale ? (i - last.qe) : 0);
+                            reachable = -(int64_t)p_.seed_back <= gap_r &&
+                                        gap_r <= width;
+                        }
+                        if (reachable) {
+                            have_factor = true;
+                        } else if (p_.anchor_in_region &&
+                                   b_len >= p_.anchor_preempt_len) {
+                            close_region();
+                            have_factor = true;
+                        }
+                    }
+                    if (have_factor) {
+                        f_strand = b_strand; f_j = b_j; f_len = b_len;
+                        f_match = b_match;
+                    }
+                }
+            }
+            if (!have_factor) {
+                if (region_.strand >= 0 &&
+                    i - region_.factors.back().qe - 1 >= p_.mqd)
+                    close_region();
+                ++i;
+                continue;
+            }
+            if (region_.strand < 0) {
+                region_.strand = f_strand;
+                region_.factors.clear();
+                region_.nt_match = 0;
+                region_.qlimit = prev_factor_end_;
+            }
+            Factor f{i, i + f_len - 1, f_j, f_j + f_len - 1};
+            region_.factors.push_back(f);
+            region_.nt_match += f_match;
+            i = f.qe + 1;
+        }
+        close_region();
+    }
+
+private:
+    void compute_windows(int k, std::vector<uint64_t>* vals,
+                         std::vector<uint8_t>* valid) {
+        int n = nq_ - k + 1;
+        vals->assign(n > 0 ? n : 0, 0);
+        valid->assign(n > 0 ? n : 0, 0);
+        if (n <= 0) return;
+        uint64_t val = 0;
+        const uint64_t mask = (1ull << (2 * k)) - 1;
+        int run_valid = 0;
+        for (int i = 0; i < nq_; ++i) {
+            int8_t c = q_[i];
+            val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+            run_valid = (c >= 4) ? 0 : run_valid + 1;
+            if (i >= k - 1) {
+                (*vals)[i - k + 1] = val;
+                (*valid)[i - k + 1] = run_valid >= k ? 1 : 0;
+            }
+        }
+        // vals currently holds the window ENDING at i; shift so index is
+        // the window start (done above via i-k+1). Nothing further needed.
+    }
+
+    int gap_matches(const int8_t* r, int nr, int qe1, int re1, int qs2,
+                    int rs2) {
+        int gap = qs2 - qe1 - 1;
+        if (gap <= 0 || p_.gap_policy == 0) return 0;
+        int prev_cnt = 0, next_cnt = 0;
+        static thread_local std::vector<uint8_t> prev_cmp, next_cmp;
+        prev_cmp.assign(gap, 0);
+        next_cmp.assign(gap, 0);
+        for (int t = 0; t < gap; ++t) {
+            int qi = qe1 + 1 + t, rj = re1 + 1 + t;
+            if (rj < nr && q_[qi] == r[rj] && q_[qi] < 4) prev_cmp[t] = 1;
+        }
+        for (int t = 0; t < gap; ++t) {
+            int qi = qe1 + 1 + t, rj = rs2 - gap + t;
+            if (rj >= 0 && q_[qi] == r[rj] && q_[qi] < 4) next_cmp[t] = 1;
+        }
+        for (int t = 0; t < gap; ++t) { prev_cnt += prev_cmp[t];
+                                        next_cnt += next_cmp[t]; }
+        if (p_.gap_policy == 1) return prev_cnt;
+        if (p_.gap_policy == 2) return next_cnt;
+        // split: best prefix on prev diagonal + suffix on next diagonal.
+        int best = 0, pc = 0;
+        std::vector<int> suffix(gap + 1, 0);
+        for (int t = gap - 1; t >= 0; --t)
+            suffix[t] = suffix[t + 1] + next_cmp[t];
+        best = suffix[0];
+        for (int s = 1; s <= gap; ++s) {
+            pc += prev_cmp[s - 1];
+            if (pc + suffix[s] > best) best = pc + suffix[s];
+        }
+        return best;
+    }
+
+    void back_extend(const int8_t* r, int qs, int rs, int qlimit,
+                     int32_t* ext_len, int32_t* ext_match) {
+        static thread_local std::vector<uint8_t> history;
+        static thread_local std::vector<uint8_t> win;
+        history.clear(); win.clear();
+        int head = 0, mism = 0;
+        int i = qs - 1, j = rs - 1;
+        while (i > qlimit && j >= 0) {
+            bool is_match = (q_[i] == r[j]) && q_[i] < 4;
+            uint8_t flag = is_match ? 0 : 1;
+            win.push_back(flag);
+            mism += flag;
+            if ((int)win.size() - head > p_.aw) { mism -= win[head]; ++head; }
+            if (mism > p_.am) break;
+            history.push_back(is_match ? 1 : 0);
+            --i; --j;
+        }
+        int run = 0, cut = 0;
+        for (int pos = (int)history.size() - 1; pos >= 0; --pos) {
+            if (history[pos]) {
+                if (++run >= p_.ar) { cut = pos + run; break; }
+            } else run = 0;
+        }
+        int m = 0;
+        for (int pos = 0; pos < cut; ++pos) m += history[pos];
+        *ext_len = cut;
+        *ext_match = m;
+    }
+
+    void close_region() {
+        if (region_.strand < 0) return;
+        const int strand = region_.strand;
+        const int8_t* r = ri_->strand(strand);
+        const int nr = ri_->n;
+        auto& factors = region_.factors;
+        int qs = factors.front().qs;
+        int rs = factors.front().rs;
+        int64_t nt_match = region_.nt_match;
+        for (size_t k = 0; k + 1 < factors.size(); ++k)
+            nt_match += gap_matches(r, nr, factors[k].qe, factors[k].re,
+                                    factors[k + 1].qs, factors[k + 1].rs);
+        if (p_.region_back_ext) {
+            int32_t ext_len, ext_match;
+            back_extend(r, qs, rs, region_.qlimit, &ext_len, &ext_match);
+            qs -= ext_len;
+            rs -= ext_len;
+            nt_match += ext_match;
+        }
+        int qe = factors.back().qe;
+        int re = factors.back().re;
+        int alnlen = qe - qs + 1;
+        if (alnlen >= p_.reg) {
+            int32_t rstart, rend;
+            if (strand == 0) { rstart = rs; rend = re; }
+            else { rstart = nr - 1 - rs; rend = nr - 1 - re; }
+            out_->push_back(Alignment{qs, qe, rstart, rend,
+                                      (int32_t)nt_match,
+                                      (int32_t)(alnlen - nt_match),
+                                      strand == 0 ? 1 : -1});
+            prev_factor_end_ = factors.back().qe;
+        }
+        region_.strand = -1;
+    }
+
+    const RefIndex* ri_;
+    Params p_;
+    const int8_t* q_ = nullptr;
+    int nq_ = 0;
+    std::vector<Alignment>* out_ = nullptr;
+    int prev_factor_end_ = -1;
+    Region region_;
+    std::vector<uint64_t> aval_, sval_;
+    std::vector<uint8_t> avalid_, svalid_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lz_index_build(const int8_t* seq, int32_t len, const Params* p) {
+    auto* ri = new RefIndex();
+    ri->build(seq, len, *p);
+    return ri;
+}
+
+void lz_index_free(void* handle) {
+    delete static_cast<RefIndex*>(handle);
+}
+
+// Parse query against an indexed reference. Returns number of alignments;
+// writes up to max_out alignments (7 int32 each: qs,qe,rs,re,match,mism,
+// strand) into out.
+int32_t lz_parse(void* index_handle, const int8_t* q, int32_t nq,
+                 const Params* p, int32_t* out, int32_t max_out) {
+    auto* ri = static_cast<RefIndex*>(index_handle);
+    std::vector<Alignment> alns;
+    Parser parser(ri, *p);
+    parser.parse(q, nq, &alns);
+    int32_t n = (int32_t)alns.size();
+    int32_t n_write = std::min(n, max_out);
+    for (int32_t k = 0; k < n_write; ++k) {
+        out[k * 7 + 0] = alns[k].qstart;
+        out[k * 7 + 1] = alns[k].qend;
+        out[k * 7 + 2] = alns[k].rstart;
+        out[k * 7 + 3] = alns[k].rend;
+        out[k * 7 + 4] = alns[k].nt_match;
+        out[k * 7 + 5] = alns[k].nt_mismatch;
+        out[k * 7 + 6] = alns[k].strand;
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -34,13 +34,36 @@ DATASET_FILES = [
 ]
 
 
+class _Result:
+    def __init__(self, returncode, stdout, stderr):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
 def run_vclust(args, **kwargs):
-    env = dict(os.environ)
-    env.setdefault('PYTHONPATH', str(REPO))
-    return subprocess.run(
-        [sys.executable, str(VCLUST), *[str(a) for a in args]],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, **kwargs)
+    """Run the CLI. Default: in-process (python startup is seconds on the
+    CI host); set VCLUST_TEST_SUBPROCESS=1 for true subprocess black-box
+    runs (same assertions pass either way)."""
+    if os.environ.get('VCLUST_TEST_SUBPROCESS'):
+        env = dict(os.environ)
+        env.setdefault('PYTHONPATH', str(REPO))
+        return subprocess.run(
+            [sys.executable, str(VCLUST), *[str(a) for a in args]],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, **kwargs)
+    import contextlib
+    import io
+    sys.path.insert(0, str(REPO))
+    from vclust_tpu.cli import main
+    out, err = io.StringIO(), io.StringIO()
+    code = 0
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        try:
+            main([str(a) for a in args])
+        except SystemExit as exc:
+            code = int(exc.code or 0)
+    return _Result(code, out.getvalue(), err.getvalue())
 
 
 @pytest.fixture

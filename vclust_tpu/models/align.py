@@ -24,6 +24,7 @@ import numpy as np
 from ..core.seq import encode
 from ..io.formats import AniRow, AlnRow, FilterMatrix
 from ..ops.lz_parse_py import AlignParams, Alignment, ReferenceIndex, parse_pair
+from ..ops import lz_native
 from ..utils.logging import get_logger
 from .input import Genome
 
@@ -65,9 +66,12 @@ def _genome_codes(genome: Genome) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def align_directed(q_codes: np.ndarray, ref_index: ReferenceIndex,
+def align_directed(q_codes: np.ndarray, ref_index,
                    params: AlignParams) -> DirectedResult:
-    alns = parse_pair(q_codes, ref_index, params)
+    if isinstance(ref_index, lz_native.NativeReferenceIndex):
+        alns = lz_native.parse_pair_native(q_codes, ref_index, params)
+    else:
+        alns = parse_pair(q_codes, ref_index, params)
     res = DirectedResult(alns=alns)
     res.n_alns = len(alns)
     res.sum_match = sum(a.nt_match for a in alns)
@@ -83,8 +87,13 @@ def run_align(
     out_filters: Optional[Dict[str, float]] = None,
     keep_alignments: bool = False,
     num_threads: Optional[int] = None,
+    engine: str = 'auto',
 ) -> AlignResult:
-    """Run the all-vs-all alignment over candidate pairs."""
+    """Run the all-vs-all alignment over candidate pairs.
+
+    engine: 'auto' (native C++ if available, else Python), 'native', 'py'.
+    Both engines are bit-identical; the Python one is the semantic oracle.
+    """
     logger = get_logger()
     params = params or AlignParams()
     out_filters = out_filters or {}
@@ -114,6 +123,11 @@ def run_align(
     else:
         candidates = [(i, j) for i in range(n) for j in range(i + 1, n)]
 
+    use_native = (engine == 'native'
+                  or (engine == 'auto' and lz_native.available()))
+    if engine == 'native' and not lz_native.available():
+        raise RuntimeError('native align engine unavailable')
+
     codes = {}
     indexes = {}
 
@@ -124,7 +138,11 @@ def run_align(
 
     def get_index(pos):
         if pos not in indexes:
-            indexes[pos] = ReferenceIndex(get_codes(pos), params)
+            if use_native:
+                indexes[pos] = lz_native.NativeReferenceIndex(
+                    get_codes(pos), params)
+            else:
+                indexes[pos] = ReferenceIndex(get_codes(pos), params)
         return indexes[pos]
 
     logger.info(f'Aligning {len(candidates)} genome pairs')

@@ -58,3 +58,33 @@ def test_zero_overlap_filtered():
     s = ani_shorter(counts, np.array([3, 3]), 25)
     assert counts[0, 1] == 0
     assert s[0, 1] == -np.inf
+
+
+def test_connected_components_device_matches_union_find():
+    from vclust_tpu.ops.cc import connected_components_device
+    rng = np.random.default_rng(3)
+    n = 500
+    edges = rng.integers(0, n, (300, 2)).astype(np.int32)
+    labels = connected_components_device(n, edges)
+    # Host union-find reference.
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = np.array([find(i) for i in range(n)])
+    assert np.array_equal(labels, expect)
+
+
+def test_connected_components_empty():
+    from vclust_tpu.ops.cc import connected_components_device
+    assert connected_components_device(0, np.empty((0, 2))).tolist() == []
+    assert connected_components_device(
+        3, np.empty((0, 2))).tolist() == [0, 1, 2]

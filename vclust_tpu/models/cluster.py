@@ -105,6 +105,14 @@ def _adjacency(n: int, edges: np.ndarray, weights: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def _single(n, edges, weights, adj, params):
+    # Large graphs: TPU min-label propagation (identical labels: the
+    # union-find below also converges to min member index).
+    if n >= 50_000 and len(edges):
+        try:
+            from ..ops.cc import connected_components_device
+            return connected_components_device(n, edges).tolist()
+        except Exception:
+            pass
     parent = list(range(n))
 
     def find(x):

@@ -8,9 +8,12 @@
 //
 // Exposed via a C ABI consumed with ctypes (vclust_tpu/ops/lz_native.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <thread>
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
@@ -441,6 +444,153 @@ int32_t lz_parse(void* index_handle, const int8_t* q, int32_t nq,
         out[k * 7 + 6] = alns[k].strand;
     }
     return n;
+}
+
+// ---------------------------------------------------------------------------
+// Batch all-vs-all API: thread pool over candidate pairs.
+//
+// This is the lz-ani analog of the reference's `-t` multithreading
+// (reference vclust.py:1058-1181): references are indexed once, then a pool
+// of workers pulls pair indices from an atomic counter. Results are stored
+// by pair index, so the output is bit-deterministic regardless of thread
+// scheduling (the md5-stability property pinned by the reference's
+// large-data CI, SURVEY.md section 4.3).
+// ---------------------------------------------------------------------------
+
+struct BatchResult {
+    int64_t n_pairs = 0;
+    // Per pair: n_alns(q=j,r=i), match_ji, alnlen_ji,
+    //           n_alns(q=i,r=j), match_ij, alnlen_ij.
+    std::vector<int64_t> agg;
+    // Alignment lists, 2 slots per pair (direction ji then ij); empty when
+    // keep_alignments was false.
+    std::vector<std::vector<Alignment>> alns;
+    bool kept = false;
+};
+
+static void sum_alns(const std::vector<Alignment>& v, int64_t* n,
+                     int64_t* match, int64_t* alnlen) {
+    *n = (int64_t)v.size();
+    int64_t m = 0, l = 0;
+    for (const auto& a : v) {
+        m += a.nt_match;
+        l += a.nt_match + a.nt_mismatch;
+    }
+    *match = m;
+    *alnlen = l;
+}
+
+void* lz_all2all(const int8_t* codes, const int64_t* offsets,
+                 int32_t n_genomes, const int32_t* pairs, int64_t n_pairs,
+                 const Params* p, int32_t n_threads,
+                 int32_t keep_alignments) {
+    auto* res = new BatchResult();
+    res->n_pairs = n_pairs;
+    res->agg.assign((size_t)n_pairs * 6, 0);
+    res->kept = keep_alignments != 0;
+    res->alns.resize((size_t)n_pairs * 2);
+
+    if (n_threads < 1) n_threads = 1;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (hw > 0 && n_threads > hw) n_threads = hw;
+
+    // Index every genome that appears in some pair (both directions use
+    // both genomes as reference).
+    std::vector<uint8_t> needed(n_genomes, 0);
+    std::vector<int32_t> to_index;
+    for (int64_t k = 0; k < n_pairs; ++k) {
+        for (int s = 0; s < 2; ++s) {
+            int32_t g = pairs[2 * k + s];
+            if (!needed[g]) { needed[g] = 1; to_index.push_back(g); }
+        }
+    }
+    std::vector<std::unique_ptr<RefIndex>> idx(n_genomes);
+    {
+        std::atomic<size_t> next(0);
+        auto worker = [&]() {
+            for (;;) {
+                size_t t = next.fetch_add(1);
+                if (t >= to_index.size()) break;
+                int32_t g = to_index[t];
+                auto ri = std::make_unique<RefIndex>();
+                ri->build(codes + offsets[g],
+                          (int)(offsets[g + 1] - offsets[g]), *p);
+                idx[g] = std::move(ri);
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+        worker();
+        for (auto& th : pool) th.join();
+    }
+
+    {
+        std::atomic<int64_t> next(0);
+        auto worker = [&]() {
+            std::vector<Alignment> a_ji, a_ij;
+            for (;;) {
+                int64_t k = next.fetch_add(1);
+                if (k >= n_pairs) break;
+                int32_t i = pairs[2 * k], j = pairs[2 * k + 1];
+                a_ji.clear(); a_ij.clear();
+                {
+                    Parser parser(idx[i].get(), *p);
+                    parser.parse(codes + offsets[j],
+                                 (int)(offsets[j + 1] - offsets[j]), &a_ji);
+                }
+                {
+                    Parser parser(idx[j].get(), *p);
+                    parser.parse(codes + offsets[i],
+                                 (int)(offsets[i + 1] - offsets[i]), &a_ij);
+                }
+                int64_t* agg = &res->agg[(size_t)k * 6];
+                sum_alns(a_ji, agg, agg + 1, agg + 2);
+                sum_alns(a_ij, agg + 3, agg + 4, agg + 5);
+                if (res->kept) {
+                    res->alns[(size_t)k * 2] = a_ji;
+                    res->alns[(size_t)k * 2 + 1] = a_ij;
+                }
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+        worker();
+        for (auto& th : pool) th.join();
+    }
+    return res;
+}
+
+void lz_all2all_aggregates(void* handle, int64_t* out) {
+    auto* res = static_cast<BatchResult*>(handle);
+    std::memcpy(out, res->agg.data(), res->agg.size() * sizeof(int64_t));
+}
+
+// Total alignments kept across all pairs/directions.
+int64_t lz_all2all_total_alns(void* handle) {
+    auto* res = static_cast<BatchResult*>(handle);
+    int64_t n = 0;
+    for (const auto& v : res->alns) n += (int64_t)v.size();
+    return n;
+}
+
+// Copy all alignments, concatenated in (pair, direction ji, direction ij)
+// order, 7 int32 per alignment (qs,qe,rs,re,match,mism,strand).
+void lz_all2all_copy_alns(void* handle, int32_t* out) {
+    auto* res = static_cast<BatchResult*>(handle);
+    size_t w = 0;
+    for (const auto& v : res->alns) {
+        for (const auto& a : v) {
+            out[w + 0] = a.qstart; out[w + 1] = a.qend;
+            out[w + 2] = a.rstart; out[w + 3] = a.rend;
+            out[w + 4] = a.nt_match; out[w + 5] = a.nt_mismatch;
+            out[w + 6] = a.strand;
+            w += 7;
+        }
+    }
+}
+
+void lz_all2all_free(void* handle) {
+    delete static_cast<BatchResult*>(handle);
 }
 
 }  // extern "C"

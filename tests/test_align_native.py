@@ -85,3 +85,30 @@ def test_native_empty_query():
         encode(''), lz_native.NativeReferenceIndex(encode(ref), params),
         params)
     assert nat == []
+
+def test_batch_all2all_matches_engines():
+    """The multithreaded batch API == per-pair loop == Python oracle,
+    including the kept alignment rows, at several thread counts."""
+    from conftest import FASTA_FILE
+    from vclust_tpu.models.input import load_genomes
+    from vclust_tpu.models.align import run_align
+
+    genomes, _ = load_genomes(FASTA_FILE)
+    genomes = genomes[:6]
+    params = AlignParams()
+    base = run_align(genomes, params=params, keep_alignments=True,
+                     engine='py')
+
+    def row_key(res):
+        return [(r.qidx, r.ridx, r.tani, r.gani, r.ani, r.qcov, r.rcov,
+                 r.num_alns, r.nt_match, r.nt_mismatch) for r in res.rows]
+
+    def aln_key(res):
+        return [(a.query, a.reference, a.alnlen, a.qstart, a.qend,
+                 a.rstart, a.rend, a.nt_match) for a in res.alignments]
+
+    for n_threads in (1, 4):
+        batch = run_align(genomes, params=params, keep_alignments=True,
+                          engine='native', num_threads=n_threads)
+        assert row_key(batch) == row_key(base)
+        assert aln_key(batch) == aln_key(base)

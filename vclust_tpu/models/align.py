@@ -128,6 +128,11 @@ def run_align(
     if engine == 'native' and not lz_native.available():
         raise RuntimeError('native align engine unavailable')
 
+    if use_native:
+        return _run_align_native(genomes, order, objects, result, candidates,
+                                 params, out_filters, keep_alignments,
+                                 num_threads)
+
     codes = {}
     indexes = {}
 
@@ -184,6 +189,73 @@ def run_align(
                             rstart=a.rstart + 1, rend=a.rend + 1,
                             nt_match=a.nt_match,
                             nt_mismatch=a.nt_mismatch))
+    return result
+
+
+def _run_align_native(genomes, order, objects, result, candidates, params,
+                      out_filters, keep_alignments, num_threads):
+    """Batch path: one native lz_all2all call, thread pool over pairs.
+
+    Bit-identical to the per-pair Python path (pinned by
+    tests/test_align_native.py); results are stored by pair index inside the
+    engine, so output is deterministic at any thread count.
+    """
+    import multiprocessing
+    logger = get_logger()
+    n_threads = num_threads or min(multiprocessing.cpu_count(), 64)
+    logger.info(f'Aligning {len(candidates)} genome pairs '
+                f'({n_threads} threads, native batch engine)')
+    codes_list = [_genome_codes(genomes[order[pos]])
+                  for pos in range(len(order))]
+    pairs = np.asarray(candidates, dtype=np.int32).reshape(-1, 2)
+    agg, alns = lz_native.all2all_native(
+        codes_list, pairs, params, n_threads=n_threads,
+        keep_alignments=keep_alignments)
+    lengths = [o[1] for o in objects]
+    names = [o[0] for o in objects]
+    if alns is not None:
+        aln_rows, aln_counts = alns
+        aln_offsets = np.zeros(len(aln_counts) + 1, dtype=np.int64)
+        np.cumsum(aln_counts, out=aln_offsets[1:])
+
+    for k, (i, j) in enumerate(candidates):
+        n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij = agg[k]
+        if n_ji == 0 and n_ij == 0:
+            continue
+        qlen_j, qlen_i = lengths[j], lengths[i]
+        tani = (match_ji + match_ij) / (qlen_i + qlen_j)
+        len_ratio = min(qlen_i, qlen_j) / max(qlen_i, qlen_j)
+        for d, (q, r, n_a, s_match, s_alnlen, o_alnlen) in enumerate((
+                (j, i, n_ji, match_ji, alnlen_ji, alnlen_ij),
+                (i, j, n_ij, match_ij, alnlen_ij, alnlen_ji))):
+            qlen, rlen = lengths[q], lengths[r]
+            row = AniRow(
+                qidx=q, ridx=r, query=names[q], reference=names[r],
+                tani=tani,
+                gani=s_match / qlen,
+                ani=s_match / s_alnlen if s_alnlen else 0.0,
+                qcov=s_alnlen / qlen,
+                rcov=o_alnlen / rlen,
+                num_alns=int(n_a), len_ratio=len_ratio,
+                qlen=qlen, rlen=rlen,
+                nt_match=int(s_match),
+                nt_mismatch=int(s_alnlen - s_match))
+            if not _passes_out_filters(row, out_filters):
+                continue
+            result.rows.append(row)
+            if keep_alignments:
+                lo, hi = aln_offsets[2 * k + d], aln_offsets[2 * k + d + 1]
+                block = aln_rows[lo:hi]
+                alnlens = block[:, 4] + block[:, 5]
+                for t in np.lexsort((block[:, 0], -alnlens)):
+                    a = block[t]
+                    al = int(alnlens[t])
+                    result.alignments.append(AlnRow(
+                        query=names[q], reference=names[r],
+                        pident=100.0 * int(a[4]) / al, alnlen=al,
+                        qstart=int(a[0]) + 1, qend=int(a[1]) + 1,
+                        rstart=int(a[2]) + 1, rend=int(a[3]) + 1,
+                        nt_match=int(a[4]), nt_mismatch=int(a[5])))
     return result
 
 

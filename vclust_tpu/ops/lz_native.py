@@ -84,6 +84,18 @@ def get_library():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
         ctypes.POINTER(_CParams), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32]
+    lib.lz_all2all.restype = ctypes.c_void_p
+    lib.lz_all2all.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(_CParams), ctypes.c_int32, ctypes.c_int32]
+    lib.lz_all2all_aggregates.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.lz_all2all_total_alns.restype = ctypes.c_int64
+    lib.lz_all2all_total_alns.argtypes = [ctypes.c_void_p]
+    lib.lz_all2all_copy_alns.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.lz_all2all_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -136,3 +148,63 @@ def parse_pair_native(q_codes: np.ndarray, ref_index: NativeReferenceIndex,
                       rend=int(r[3]), nt_match=int(r[4]),
                       nt_mismatch=int(r[5]), strand=int(r[6]))
             for r in out[:n]]
+
+
+def all2all_native(codes_list: List[np.ndarray], pairs: np.ndarray,
+                   params: AlignParams, n_threads: int = 1,
+                   keep_alignments: bool = False):
+    """Multithreaded all-vs-all parse over candidate pairs.
+
+    The batch analog of lz-ani's `-t` thread pool (reference contract
+    vclust.py:1058-1181): references are indexed once, a worker pool drains
+    the pair list, and results are stored by pair index, so the output is
+    bit-deterministic (the md5-stability property of the reference's
+    large-data CI, SURVEY.md section 4.3).
+
+    codes_list: per-genome int8 code arrays (ids order).
+    pairs: (n_pairs, 2) int32 array of (i, j) index pairs, i < j; per pair
+      both directions are parsed: (q=j, r=i) then (q=i, r=j).
+
+    Returns (agg, alns):
+      agg: (n_pairs, 6) int64 — n_alns/nt_match/alnlen for direction (j->i),
+        then for (i->j);
+      alns: None unless keep_alignments; else (aln_rows, counts) where
+        aln_rows is (total, 7) int32 in (pair, dir ji, dir ij) order and
+        counts is the flattened per-direction n_alns to split it by.
+    """
+    lib = get_library()
+    assert lib is not None, 'native engine unavailable'
+    pairs = np.ascontiguousarray(pairs, dtype=np.int32).reshape(-1, 2)
+    n_pairs = len(pairs)
+    offsets = np.zeros(len(codes_list) + 1, dtype=np.int64)
+    for g, c in enumerate(codes_list):
+        offsets[g + 1] = offsets[g] + len(c)
+    codes = (np.concatenate([np.ascontiguousarray(c, dtype=np.int8)
+                             for c in codes_list])
+             if codes_list else np.empty(0, np.int8))
+    cp = _to_cparams(params)
+    handle = lib.lz_all2all(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(codes_list),
+        pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_pairs, ctypes.byref(cp), max(1, int(n_threads)),
+        int(keep_alignments))
+    try:
+        agg = np.zeros((n_pairs, 6), dtype=np.int64)
+        if n_pairs:
+            lib.lz_all2all_aggregates(
+                handle, agg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        alns = None
+        if keep_alignments:
+            total = lib.lz_all2all_total_alns(handle)
+            rows = np.empty((total, 7), dtype=np.int32)
+            if total:
+                lib.lz_all2all_copy_alns(
+                    handle,
+                    rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            counts = agg[:, [0, 3]].reshape(-1)
+            alns = (rows, counts)
+        return agg, alns
+    finally:
+        lib.lz_all2all_free(handle)

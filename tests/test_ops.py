@@ -88,3 +88,23 @@ def test_connected_components_empty():
     assert connected_components_device(0, np.empty((0, 2))).tolist() == []
     assert connected_components_device(
         3, np.empty((0, 2))).tolist() == [0, 1, 2]
+
+
+def test_panel_counts_match_dense():
+    """Row-panel streaming counts == dense device counts == host counts."""
+    import numpy as np
+    from vclust_tpu.ops.prefilter import (
+        shared_kmer_counts_host, shared_kmer_counts_panels)
+
+    rng = np.random.default_rng(11)
+    sets = []
+    universe = rng.choice(2**40, size=3000, replace=False).astype(np.uint64)
+    for g in range(23):
+        take = rng.random(len(universe)) < rng.uniform(0.05, 0.5)
+        sets.append(np.sort(universe[take]))
+    dense = shared_kmer_counts_host(sets)
+    out = np.zeros_like(dense)
+    for lo, hi, block in shared_kmer_counts_panels(
+            sets, panel=7, rows_chunk=512, nnz_chunk=4096):
+        out[lo:hi] = block
+    assert np.array_equal(out, dense)

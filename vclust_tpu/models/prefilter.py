@@ -7,11 +7,14 @@ matmul (ops/prefilter.py), double filtering (count >= min_kmers AND
 ani_shorter >= min_ident), optional per-row top-M capping (--max-seqs), and
 the fltr.txt writer (io/formats.py).
 
-`batch_size` shards the k-mer-set build into parts (the reference's
-out-of-core mode, vclust.py:1404-1462); results are identical by construction
-since counting is over the merged sets either way.
+`batch_size` selects the out-of-core row-panel mode (the reference's
+`--batch-size`/`all2all-parts`, vclust.py:1404-1462): the pair-count matrix
+is streamed in panels of `batch_size` genome rows, so HBM holds one
+(panel x n) block instead of the dense (n x n) matrix. Results are identical
+by construction since counting is over the same merged sets either way.
 """
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
@@ -19,9 +22,15 @@ import numpy as np
 from ..core.kmers import canonical_kmer_set
 from ..core.seq import encode
 from ..io.formats import FilterMatrix
-from ..ops.prefilter import ani_shorter, shared_kmer_counts
+from ..ops.prefilter import (ani_shorter, shared_kmer_counts,
+                             shared_kmer_counts_panels)
 from ..utils.logging import get_logger
 from .input import Genome
+
+# Above this genome count the dense (n, n) device matrix is streamed in row
+# panels even without an explicit --batch-size.
+_AUTO_PANEL_THRESHOLD = 16384
+_AUTO_PANEL = 8192
 
 
 def genome_kmer_set(genome: Genome, k: int, fraction: float) -> np.ndarray:
@@ -30,6 +39,27 @@ def genome_kmer_set(genome: Genome, k: int, fraction: float) -> np.ndarray:
     parts = [canonical_kmer_set(s, k, fraction) for s in genome.seqs]
     return np.unique(np.concatenate(parts)) if parts else np.empty(
         0, np.uint64)
+
+
+def build_kmer_sets(genomes: List[Genome], k: int, fraction: float,
+                    num_threads: Optional[int] = None) -> List[np.ndarray]:
+    """Per-genome canonical k-mer sets; numpy extraction releases the GIL
+    enough that a thread pool helps (the kmer-db `build -t` analog)."""
+    if num_threads and num_threads > 1 and len(genomes) > 8:
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            return list(pool.map(
+                lambda g: genome_kmer_set(g, k, fraction), genomes))
+    return [genome_kmer_set(g, k, fraction) for g in genomes]
+
+
+def _block_entries(block, sim, lo, hi, min_kmers, min_ident):
+    """Lower-triangle (i, j, sim) entries of one row panel passing both
+    filters, fully vectorized."""
+    rows_local, cols = np.nonzero(
+        (block >= min_kmers) & (sim >= min_ident)
+        & (np.arange(block.shape[1])[None, :]
+           < np.arange(lo, hi)[:, None]))
+    return rows_local + lo, cols, sim[rows_local, cols]
 
 
 def run_prefilter(
@@ -47,30 +77,48 @@ def run_prefilter(
     names = [g.name for g in genomes]
     n = len(genomes)
     logger.info(f'Building canonical {k}-mer sets for {n} genomes')
-    kmer_sets = [genome_kmer_set(g, k, kmers_fraction) for g in genomes]
+    kmer_sets = build_kmer_sets(genomes, k, kmers_fraction, num_threads)
     sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
     logger.info('Counting shared k-mers (occupancy matmul)')
-    counts = shared_kmer_counts(kmer_sets, backend=backend)
-    sim = ani_shorter(counts, sizes, k)
 
-    m = FilterMatrix(kmer_length=k, fraction=kmers_fraction, names=names)
-    # Lower-triangle entries passing both filters.
-    entries_per_row: List[List[tuple]] = [[] for _ in range(n)]
-    for i in range(1, n):
-        for j in range(i):
-            if counts[i, j] >= min_kmers and sim[i, j] >= min_ident:
-                entries_per_row[i].append((j, float(sim[i, j])))
-    if max_seqs and max_seqs > 0:
+    use_panels = (backend != 'host'
+                  and (batch_size > 0 or n > _AUTO_PANEL_THRESHOLD))
+    all_i, all_j, all_v = [], [], []
+    if use_panels:
+        panel = batch_size if batch_size > 0 else _AUTO_PANEL
+        for lo, hi, block in shared_kmer_counts_panels(kmer_sets, panel):
+            sim_b = ani_shorter(block, sizes, k, row_sizes=sizes[lo:hi])
+            ri, cj, v = _block_entries(block, sim_b, lo, hi, min_kmers,
+                                       min_ident)
+            all_i.append(ri)
+            all_j.append(cj)
+            all_v.append(v)
+    else:
+        counts = shared_kmer_counts(kmer_sets, backend=backend)
+        sim = ani_shorter(counts, sizes, k)
+        ri, cj, v = _block_entries(counts, sim, 0, n, min_kmers, min_ident)
+        all_i.append(ri)
+        all_j.append(cj)
+        all_v.append(v)
+
+    rows = np.concatenate(all_i) if all_i else np.empty(0, np.int64)
+    cols = np.concatenate(all_j) if all_j else np.empty(0, np.int64)
+    vals = np.concatenate(all_v) if all_v else np.empty(0, np.float64)
+
+    if max_seqs and max_seqs > 0 and len(rows):
         # kmer-db `-sample-rows ani-shorter:M`: keep the M best entries per
         # row by similarity (reference vclust.py:249-259,1015-1016).
-        for i in range(n):
-            row = entries_per_row[i]
-            if len(row) > max_seqs:
-                row.sort(key=lambda e: (-e[1], e[0]))
-                entries_per_row[i] = sorted(row[:max_seqs])
-    for i, row in enumerate(entries_per_row):
-        for j, v in row:
-            m.entries[(i, j)] = v
-    n_pairs = sum(len(r) for r in entries_per_row)
-    logger.info(f'Prefilter kept {n_pairs} candidate pairs')
+        keep = np.ones(len(rows), dtype=bool)
+        row_counts = np.bincount(rows, minlength=n)
+        for i in np.nonzero(row_counts > max_seqs)[0]:
+            idx = np.nonzero(rows == i)[0]
+            order = np.lexsort((cols[idx], -vals[idx]))
+            keep[idx[order[max_seqs:]]] = False
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    m = FilterMatrix(kmer_length=k, fraction=kmers_fraction, names=names)
+    order = np.lexsort((cols, rows))
+    for t in order:
+        m.entries[(int(rows[t]), int(cols[t]))] = float(vals[t])
+    logger.info(f'Prefilter kept {len(rows)} candidate pairs')
     return m

@@ -49,6 +49,64 @@ def _group_matmul_accum(counts, gids, sizes, n_rows: int, n_pad_rows: int,
     return counts + jnp.dot(occ.T, occ, preferred_element_type=jnp.float32)
 
 
+def _group_coo(kmer_sets):
+    """Host grouping of the (k-mer, genome) incidence by k-mer value.
+
+    Returns (sg, shared_lens): entry genome ids sorted by k-mer (stable, so
+    each group's entries stay in genome order) and per-group sizes, with
+    singleton groups (k-mers in exactly one genome) dropped — they cannot
+    contribute to off-diagonal shared counts.
+    """
+    nonempty = [s for s in kmer_sets if len(s)]
+    if not nonempty:
+        return (np.empty(0, np.int32), np.empty(0, np.int32))
+    all_kmers = np.concatenate(nonempty)
+    all_gids = np.concatenate(
+        [np.full(len(s), g, dtype=np.int32) for g, s in enumerate(kmer_sets)
+         if len(s)])
+    order = np.argsort(all_kmers, kind='stable')
+    sk = all_kmers[order]
+    sg = all_gids[order]
+    del order, all_kmers, all_gids
+    starts = np.empty(len(sk), dtype=bool)
+    starts[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=starts[1:])
+    del sk
+    start_idx = np.flatnonzero(starts)
+    lens = np.diff(start_idx, append=len(sg))
+    shared = lens >= 2
+    sg = sg[np.repeat(shared, lens)]
+    shared_lens = lens[shared].astype(np.int32)
+    return sg, shared_lens
+
+
+def _adapt_chunks(sg, shared_lens, n, rows_chunk, nnz_chunk):
+    """Shrink chunk buffers to the data (pow2-bucketed so compile shapes
+    stay few) — small inputs then compile/scatter small kernels."""
+    nnz_total = max(int(len(sg)), n + 1, 1024)
+    nnz_chunk = min(nnz_chunk, 1 << int(np.ceil(np.log2(nnz_total))))
+    ng = max(int(len(shared_lens)), 1024)
+    rows_chunk = min(rows_chunk, 1 << int(np.ceil(np.log2(ng))))
+    return rows_chunk, nnz_chunk
+
+
+def _chunk_groups(shared_lens, rows_chunk, nnz_chunk):
+    """Cut groups into chunks of <= rows_chunk groups and <= nnz_chunk
+    entries; returns (cum_entry_offsets, [(g_lo, g_hi), ...])."""
+    n_groups = len(shared_lens)
+    cum = np.concatenate([[0], np.cumsum(shared_lens, dtype=np.int64)])
+    chunks = []
+    g = 0
+    while g < n_groups:
+        g_end = min(g + rows_chunk, n_groups)
+        g_end = min(g_end, int(np.searchsorted(
+            cum, cum[g] + nnz_chunk, side='right')) - 1)
+        assert g_end > g, 'group larger than nnz_chunk'
+        chunks.append((g, g_end))
+        g = g_end
+    return cum, chunks
+
+
 def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
                               nnz_chunk: int = 524288) -> np.ndarray:
     """Exact pairwise shared-k-mer counts for sorted distinct uint64 sets.
@@ -66,29 +124,11 @@ def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
     sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
-    nonempty = [s for s in kmer_sets if len(s)]
-    if not nonempty:
-        return np.zeros((n, n), dtype=np.int64)
-    all_kmers = np.concatenate(nonempty)
-    all_gids = np.concatenate(
-        [np.full(len(s), g, dtype=np.int32) for g, s in enumerate(kmer_sets)
-         if len(s)])
-    # Stable sort by k-mer: rows of each group stay in genome order.
-    order = np.argsort(all_kmers, kind='stable')
-    sk = all_kmers[order]
-    sg = all_gids[order]
-    del order
-    # Group boundaries; keep only k-mers shared by >= 2 genomes.
-    starts = np.empty(len(sk), dtype=bool)
-    starts[0] = True
-    np.not_equal(sk[1:], sk[:-1], out=starts[1:])
-    del sk
-    start_idx = np.flatnonzero(starts)
-    lens = np.diff(start_idx, append=len(sg))
-    shared = lens >= 2
-    sg = sg[np.repeat(shared, lens)]
-    shared_lens = lens[shared].astype(np.int32)
-    del starts, start_idx, lens, shared
+    sg, shared_lens = _group_coo(kmer_sets)
+    # Cap the occupancy block (rows_chunk x (n+1) bf16) at ~1 GiB HBM.
+    rows_chunk = max(1024, min(rows_chunk, (1 << 30) // (2 * (n + 1))))
+    rows_chunk, nnz_chunk = _adapt_chunks(sg, shared_lens, n, rows_chunk,
+                                          nnz_chunk)
     assert nnz_chunk >= n, 'nnz_chunk must be >= number of genomes'
     counts = jnp.zeros((n, n), jnp.float32)
     n_groups = len(shared_lens)
@@ -96,17 +136,7 @@ def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
         # Entry offset of each group; chunks cut at every rows_chunk-th
         # group and wherever nnz_chunk entries would be exceeded. Every
         # chunk ships the same fixed-size buffers (one compiled kernel).
-        cum = np.concatenate([[0], np.cumsum(shared_lens, dtype=np.int64)])
-        g = 0
-        chunks = []
-        while g < n_groups:
-            g_end = min(g + rows_chunk, n_groups)
-            # largest group index with cum[end] - cum[g] <= nnz_chunk
-            g_end = min(g_end, int(np.searchsorted(
-                cum, cum[g] + nnz_chunk, side='right')) - 1)
-            assert g_end > g, 'group larger than nnz_chunk'
-            chunks.append((g, g_end))
-            g = g_end
+        cum, chunks = _chunk_groups(shared_lens, rows_chunk, nnz_chunk)
         # Pad "groups" of size 8 spread over extra rows (see kernel doc).
         pad_group = 8
         n_pad_rows = nnz_chunk // pad_group + 1
@@ -132,6 +162,98 @@ def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
     return counts
 
 
+@partial(jax.jit, static_argnames=('n_rows', 'n_pad_rows', 'n_genomes',
+                                   'panel', 'nnz'))
+def _panel_matmul_accum(counts, gids_all, gids_panel, sizes, n_rows: int,
+                        n_pad_rows: int, n_genomes: int, panel: int,
+                        nnz: int):
+    """Panel variant of _group_matmul_accum: two occupancy scatters (panel
+    columns and all columns) and counts += occ_panel.T @ occ_all, so only a
+    (panel x n_genomes) block of the pair-count matrix is materialized."""
+    total_rows = n_rows + n_pad_rows
+    rows = jnp.repeat(jnp.arange(total_rows, dtype=jnp.int32), sizes,
+                      total_repeat_length=nnz)
+    occ = jnp.zeros((total_rows, n_genomes + 1), jnp.bfloat16)
+    occ = occ.at[rows, gids_all.astype(jnp.int32)].set(1)
+    occ_p = jnp.zeros((total_rows, panel + 1), jnp.bfloat16)
+    occ_p = occ_p.at[rows, gids_panel.astype(jnp.int32)].set(1)
+    return counts + jnp.dot(occ_p[:n_rows, :panel].T,
+                            occ[:n_rows, :n_genomes],
+                            preferred_element_type=jnp.float32)
+
+
+def shared_kmer_counts_panels(kmer_sets, panel: int = 4096,
+                              rows_chunk: int = 131072,
+                              nnz_chunk: int = 524288):
+    """Stream the pair-count matrix in row panels of `panel` genomes.
+
+    The out-of-core analog of kmer-db's `--batch-size`/`all2all-parts` mode
+    (reference vclust.py:1404-1462, SURVEY.md section 5.7), TPU-shaped: HBM
+    holds one (panel x n) f32 block plus the occupancy chunk instead of the
+    dense (n x n) matrix, so n scales to ~1e5+ genomes on one chip.
+
+    Yields (lo, hi, counts_block) with counts_block int64 of shape
+    (hi-lo, n); diagonal entries are set to the genome's k-mer-set size.
+    Exactness matches shared_kmer_counts_device (same bf16/f32 math).
+    """
+    n = len(kmer_sets)
+    if n == 0:
+        return
+    sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
+    sg, shared_lens = _group_coo(kmer_sets)
+    panel = min(panel, n)
+    rows_chunk = max(
+        1024, min(rows_chunk, (1 << 30) // (2 * (n + panel + 2))))
+    rows_chunk, nnz_chunk = _adapt_chunks(sg, shared_lens, n, rows_chunk,
+                                          nnz_chunk)
+    assert nnz_chunk >= n, 'nnz_chunk must be >= number of genomes'
+    n_groups = len(shared_lens)
+    group_of_entry = (np.repeat(np.arange(n_groups, dtype=np.int64),
+                                shared_lens)
+                      if n_groups else np.empty(0, np.int64))
+    pad_group = 8
+    n_pad_rows = nnz_chunk // pad_group + 1
+    for lo in range(0, n, panel):
+        hi = min(lo + panel, n)
+        counts = jnp.zeros((panel, n), jnp.float32)
+        if n_groups:
+            # Keep only groups with >= 1 member in [lo, hi): others cannot
+            # touch this row panel.
+            in_panel = (sg >= lo) & (sg < hi)
+            touched = np.zeros(n_groups, dtype=bool)
+            touched[group_of_entry[in_panel]] = True
+            keep_entries = touched[group_of_entry]
+            sg_sel = sg[keep_entries]
+            lens_sel = shared_lens[touched]
+            cum, chunks = _chunk_groups(lens_sel, rows_chunk, nnz_chunk)
+            gids_buf = np.full(nnz_chunk, n, dtype=np.int32)
+            gidp_buf = np.full(nnz_chunk, panel, dtype=np.int32)
+            sizes_buf = np.zeros(rows_chunk + n_pad_rows, dtype=np.int32)
+            for g_lo, g_hi in chunks:
+                e_lo, e_hi = int(cum[g_lo]), int(cum[g_hi])
+                m = e_hi - e_lo
+                ng = g_hi - g_lo
+                chunk_g = sg_sel[e_lo:e_hi]
+                gids_buf[:m] = chunk_g
+                gids_buf[m:] = n
+                inp = (chunk_g >= lo) & (chunk_g < hi)
+                gidp_buf[:m] = np.where(inp, chunk_g - lo, panel)
+                gidp_buf[m:] = panel
+                sizes_buf[:] = 0
+                sizes_buf[:ng] = lens_sel[g_lo:g_hi]
+                pad = nnz_chunk - m
+                n_full = pad // pad_group
+                sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
+                sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
+                counts = _panel_matmul_accum(
+                    counts, jnp.asarray(gids_buf), jnp.asarray(gidp_buf),
+                    jnp.asarray(sizes_buf), rows_chunk, n_pad_rows, n,
+                    panel, nnz_chunk)
+        block = np.rint(np.asarray(counts[:hi - lo])).astype(np.int64)
+        block[np.arange(hi - lo), np.arange(lo, hi)] = sizes[lo:hi]
+        yield lo, hi, block
+
+
 def shared_kmer_counts_host(kmer_sets) -> np.ndarray:
     """Numpy reference implementation (sort-merge intersections)."""
     n = len(kmer_sets)
@@ -155,15 +277,20 @@ def shared_kmer_counts(kmer_sets, backend: str = 'auto') -> np.ndarray:
     return shared_kmer_counts_device(kmer_sets)
 
 
-def ani_shorter(counts: np.ndarray, sizes: np.ndarray, k: int) -> np.ndarray:
+def ani_shorter(counts: np.ndarray, sizes: np.ndarray, k: int,
+                row_sizes: np.ndarray = None) -> np.ndarray:
     """kmer-db's `ani-shorter` estimate from shared-k-mer counts.
 
     [VERIFIED-EMPIRICAL in SURVEY.md section 2.4.5 against golden fltr.txt]:
         c = shared / min(|A|, |B|)            (containment on the shorter)
         ani_shorter = 1 + ln(2c / (1 + c)) / k
+
+    counts may be the square (n, n) matrix (row_sizes=None) or a row-panel
+    block (B, n) with row_sizes the B per-row k-mer-set sizes.
     """
     sizes = np.asarray(sizes, dtype=np.float64)
-    min_sizes = np.minimum(sizes[:, None], sizes[None, :])
+    rs = sizes if row_sizes is None else np.asarray(row_sizes, np.float64)
+    min_sizes = np.minimum(rs[:, None], sizes[None, :])
     with np.errstate(divide='ignore', invalid='ignore'):
         c = counts / np.maximum(min_sizes, 1)
         s = 1.0 + np.log(2.0 * c / (1.0 + c)) / k

@@ -108,3 +108,24 @@ def test_panel_counts_match_dense():
             sets, panel=7, rows_chunk=512, nnz_chunk=4096):
         out[lo:hi] = block
     assert np.array_equal(out, dense)
+
+
+def test_pattern_dedup_counts_match_host():
+    """Pattern-compressed weighted counts == host oracle on a corpus with
+    heavy pattern duplication (small k-mer universe, clustered genomes)."""
+    import numpy as np
+    from vclust_tpu.ops.prefilter import (
+        PrefilterIndex, shared_kmer_counts_host, shared_kmer_counts_indexed)
+
+    rng = np.random.default_rng(5)
+    universe = rng.choice(2**30, size=4000, replace=False).astype(np.uint64)
+    sets = []
+    for fam in range(6):                       # 6 families of 5 near-clones
+        base = universe[rng.random(len(universe)) < 0.3]
+        for _ in range(5):
+            drop = rng.random(len(base)) < 0.05
+            sets.append(np.sort(base[~drop]))
+    host = shared_kmer_counts_host(sets)
+    idx = PrefilterIndex(sets)
+    assert idx.dedup_ratio > 2.0               # compression actually engaged
+    assert np.array_equal(shared_kmer_counts_indexed(idx), host)

@@ -80,6 +80,164 @@ def _group_coo(kmer_sets):
     return sg, shared_lens
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _dedup_patterns(sg, lens):
+    """kmer-db's pattern compression (SURVEY.md section 2.4.1): many k-mer
+    groups share the same genome-id set ("pattern"); counting each distinct
+    pattern once with a multiplicity weight shrinks the device work by the
+    dedup ratio. Patterns are keyed by two independent 64-bit position-mixed
+    hashes + length (collision odds ~ n_groups^2 / 2^128).
+
+    Returns (sg_d, lens_d, weights) with weights int64.
+    """
+    n_groups = len(lens)
+    if n_groups == 0:
+        return sg, lens, np.ones(0, np.int64)
+    starts = np.zeros(n_groups, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(len(sg), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), lens)
+    g64 = sg.astype(np.uint64)
+    e1 = _mix64(g64 + (pos + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+    e2 = _mix64(g64 ^ ((pos + np.uint64(7)) * np.uint64(0xC2B2AE3D27D4EB4F)))
+    h1 = np.add.reduceat(e1, starts)
+    h2 = np.add.reduceat(e2, starts)
+    order = np.lexsort((h2, h1, lens))
+    l_s, h1_s, h2_s = lens[order], h1[order], h2[order]
+    new = np.empty(n_groups, dtype=bool)
+    new[0] = True
+    new[1:] = ((l_s[1:] != l_s[:-1]) | (h1_s[1:] != h1_s[:-1])
+               | (h2_s[1:] != h2_s[:-1]))
+    pat_id_sorted = np.cumsum(new) - 1
+    n_pat = int(pat_id_sorted[-1]) + 1
+    weights = np.bincount(pat_id_sorted, minlength=n_pat).astype(np.int64)
+    rep_group = order[new]            # first group of each distinct pattern
+    lens_d = lens[rep_group]
+    # Gather the representative groups' entries.
+    rep_starts = starts[rep_group]
+    out_starts = np.zeros(n_pat, dtype=np.int64)
+    np.cumsum(lens_d[:-1], out=out_starts[1:])
+    total = int(lens_d.sum())
+    gather = (np.repeat(rep_starts, lens_d)
+              + (np.arange(total, dtype=np.int64)
+                 - np.repeat(out_starts, lens_d)))
+    return sg[gather], lens_d, weights
+
+
+class PrefilterIndex:
+    """Pattern-compressed incidence index — the kmer-db `build` analog.
+
+    Holds the deduplicated (pattern x genome) COO plus per-pattern
+    multiplicities; `shared_kmer_counts_indexed` is the `all2all` analog
+    that turns it into exact pair counts on the MXU.
+    """
+
+    def __init__(self, kmer_sets, dedup: bool = True):
+        self.n = len(kmer_sets)
+        self.sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
+        sg, lens = _group_coo(kmer_sets)
+        self.n_groups = len(lens)
+        if dedup:
+            sg, lens, weights = _dedup_patterns(sg, lens)
+        else:
+            weights = np.ones(len(lens), np.int64)
+        self.gids = sg
+        self.lens = lens
+        self.weights = weights
+
+    @property
+    def dedup_ratio(self) -> float:
+        return self.n_groups / max(len(self.lens), 1)
+
+
+@partial(jax.jit, static_argnames=('n_rows', 'n_pad_rows', 'n_genomes',
+                                   'nnz', 'n_limbs'))
+def _group_matmul_accum_w(counts, gids, sizes, w_limbs, n_rows: int,
+                          n_pad_rows: int, n_genomes: int, nnz: int,
+                          n_limbs: int):
+    """Weighted variant of _group_matmul_accum:
+    counts += occ.T @ (w[:, None] * occ).
+
+    TPU f32 matmuls run at reduced precision by default (bf16 passes), so a
+    single f32 weighted matmul is NOT exact for large pattern weights.
+    Instead the integer weights are decomposed into byte limbs
+    w = sum_l 256^l * w_l: each (occ * w_l) is exact in bf16 (integers
+    0..255), each matmul accumulates exactly in f32, and the limb results
+    are recombined with exact power-of-two scales. Exact for weights < 2**24
+    and counts < 2**24.
+    """
+    total_rows = n_rows + n_pad_rows
+    rows = jnp.repeat(jnp.arange(total_rows, dtype=jnp.int32), sizes,
+                      total_repeat_length=nnz)
+    occ = jnp.zeros((total_rows, n_genomes + 1), jnp.bfloat16)
+    occ = occ.at[rows, gids.astype(jnp.int32)].set(1)
+    occ = occ[:n_rows, :n_genomes]
+    acc = counts
+    for limb in range(n_limbs):
+        w = w_limbs[limb, :n_rows, None].astype(jnp.bfloat16)
+        acc = acc + (256.0 ** limb) * jnp.dot(
+            occ.T, occ * w, preferred_element_type=jnp.float32)
+    return acc
+
+
+def shared_kmer_counts_indexed(index: 'PrefilterIndex',
+                               rows_chunk: int = 131072,
+                               nnz_chunk: int = 524288) -> np.ndarray:
+    """Exact pair counts from a PrefilterIndex (the kmer-db all2all-sp
+    analog): chunked weighted occupancy matmul on the MXU."""
+    n = index.n
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    sg, shared_lens, weights = index.gids, index.lens, index.weights
+    rows_chunk = max(1024, min(rows_chunk, (1 << 28) // (4 * (n + 1))))
+    rows_chunk, nnz_chunk = _adapt_chunks(sg, shared_lens, n, rows_chunk,
+                                          nnz_chunk)
+    assert nnz_chunk >= n, 'nnz_chunk must be >= number of genomes'
+    counts = jnp.zeros((n, n), jnp.float32)
+    if len(shared_lens):
+        cum, chunks = _chunk_groups(shared_lens, rows_chunk, nnz_chunk)
+        pad_group = 8
+        n_pad_rows = nnz_chunk // pad_group + 1
+        assert weights.max(initial=0) < (1 << 24), 'pattern weight overflow'
+        n_limbs = max(1, int(np.ceil(
+            np.log2(max(float(weights.max(initial=1)), 2.0)) / 8)))
+        gids_buf = np.full(nnz_chunk, n, dtype=np.int32)
+        sizes_buf = np.zeros(rows_chunk + n_pad_rows, dtype=np.int32)
+        w_buf = np.zeros((n_limbs, rows_chunk), dtype=np.float32)
+        for g_lo, g_hi in chunks:
+            lo, hi = int(cum[g_lo]), int(cum[g_hi])
+            m = hi - lo
+            ng = g_hi - g_lo
+            gids_buf[:m] = sg[lo:hi]
+            gids_buf[m:] = n
+            sizes_buf[:] = 0
+            sizes_buf[:ng] = shared_lens[g_lo:g_hi]
+            w_buf[:] = 0
+            w = weights[g_lo:g_hi]
+            for limb in range(n_limbs):
+                w_buf[limb, :ng] = (w >> (8 * limb)) & 0xFF
+            pad = nnz_chunk - m
+            n_full = pad // pad_group
+            sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
+            sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
+            counts = _group_matmul_accum_w(
+                counts, jnp.asarray(gids_buf), jnp.asarray(sizes_buf),
+                jnp.asarray(w_buf), rows_chunk, n_pad_rows, n, nnz_chunk,
+                n_limbs)
+    counts = np.rint(np.asarray(counts)).astype(np.int64)
+    np.fill_diagonal(counts, index.sizes)
+    return counts
+
+
 def _adapt_chunks(sg, shared_lens, n, rows_chunk, nnz_chunk):
     """Shrink chunk buffers to the data (pow2-bucketed so compile shapes
     stay few) — small inputs then compile/scatter small kernels."""
@@ -274,7 +432,7 @@ def shared_kmer_counts(kmer_sets, backend: str = 'auto') -> np.ndarray:
         # Tiny inputs: the host sort-merge beats one-off jit compilation.
         if not _HAVE_JAX or len(kmer_sets) <= 32:
             return shared_kmer_counts_host(kmer_sets)
-    return shared_kmer_counts_device(kmer_sets)
+    return shared_kmer_counts_indexed(PrefilterIndex(kmer_sets))
 
 
 def ani_shorter(counts: np.ndarray, sizes: np.ndarray, k: int,

@@ -6,6 +6,17 @@
 // the reference pipeline (contract: reference vclust.py:1058-1181) for the
 // host path; the TPU Pallas kernel covers the batched accelerator path.
 //
+// Performance notes (the align stage is the hot loop of the whole system,
+// SURVEY.md section 2.5.5):
+//  - k-mer indexes are flat CSR over 4^k buckets for small k (seeds) and an
+//    open-addressing hash CSR for large k (anchors) — no per-bucket heap
+//    vectors, positions contiguous and ascending.
+//  - factor extension is allocation-free: the mismatch window is a uint64
+//    bitmask (popcount), the ar-run trim is tracked forward in O(1), and the
+//    exact part compares 8 bases per step via word loads.
+//  - query anchor/seed window values are computed once per genome and shared
+//    by every pair that uses that genome as query.
+//
 // Exposed via a C ABI consumed with ctypes (vclust_tpu/ops/lz_native.py).
 
 #include <atomic>
@@ -16,7 +27,6 @@
 #include <thread>
 #include <vector>
 #include <algorithm>
-#include <unordered_map>
 
 namespace {
 
@@ -36,32 +46,116 @@ struct Alignment {
 
 struct Factor { int32_t qs, qe, rs, re; };
 
-// k-mer index over one strand: value -> sorted positions.
-// Seeds (msl<=15) use a flat direct-mapped table; anchors use a hash map.
+struct PosSlice { const int32_t* begin; const int32_t* end; };
+
+static inline uint64_t mix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return x ^ (x >> 31);
+}
+
+// k-mer index over one strand: value -> ascending positions (CSR).
+// Small k (2k <= 20): direct-mapped buckets. Larger k: open-addressing hash
+// of (value -> bucket), linear probing, power-of-2 capacity.
 struct KmerIndex {
-    int k;
-    std::unordered_map<uint64_t, std::vector<int32_t>> map;
+    int k = 0;
+    bool flat = false;
+    // flat mode
+    std::vector<int32_t> flat_off;       // 4^k + 1
+    // hash mode
+    std::vector<uint64_t> hvals;         // capacity, EMPTY = ~0ull
+    std::vector<int32_t> hoff;           // capacity + 1 used as bucket start
+    std::vector<int32_t> hcnt;           // capacity (during build)
+    uint64_t hmask = 0;
+    // shared
+    std::vector<int32_t> pos;
+
+    static constexpr uint64_t EMPTY = ~0ull;
 
     void build(const int8_t* seq, int n, int kk) {
         k = kk;
-        map.clear();
-        map.reserve(n);
-        if (n < k) return;
-        uint64_t val = 0;
-        const uint64_t mask = (k * 2 == 64) ? ~0ull
-                                            : ((1ull << (2 * k)) - 1);
-        int run_valid = 0;
-        for (int i = 0; i < n; ++i) {
-            int8_t c = seq[i];
-            val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
-            run_valid = (c >= 4) ? 0 : run_valid + 1;
-            if (i >= k - 1 && run_valid >= k)
-                map[val].push_back(i - k + 1);
+        int n_win = n - k + 1;
+        flat = (2 * k <= 20);
+        pos.clear();
+        if (n_win <= 0) { flat_off.assign(flat ? (1u << (2 * k)) + 1 : 1, 0);
+                          hvals.clear(); return; }
+        const uint64_t mask = (2 * k >= 64) ? ~0ull : ((1ull << (2 * k)) - 1);
+        if (flat) {
+            size_t nb = 1u << (2 * k);
+            flat_off.assign(nb + 1, 0);
+            // pass 1: counts
+            uint64_t val = 0; int run_valid = 0;
+            for (int i = 0; i < n; ++i) {
+                int8_t c = seq[i];
+                val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+                run_valid = (c >= 4) ? 0 : run_valid + 1;
+                if (i >= k - 1 && run_valid >= k) ++flat_off[val + 1];
+            }
+            for (size_t b = 0; b < nb; ++b) flat_off[b + 1] += flat_off[b];
+            pos.resize(flat_off[nb]);
+            std::vector<int32_t> cursor(flat_off.begin(), flat_off.end() - 1);
+            val = 0; run_valid = 0;
+            for (int i = 0; i < n; ++i) {
+                int8_t c = seq[i];
+                val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+                run_valid = (c >= 4) ? 0 : run_valid + 1;
+                if (i >= k - 1 && run_valid >= k)
+                    pos[cursor[val]++] = i - k + 1;
+            }
+        } else {
+            // open addressing: capacity = next pow2 >= 2 * n_win
+            size_t cap = 16;
+            while (cap < (size_t)n_win * 2) cap <<= 1;
+            hmask = cap - 1;
+            hvals.assign(cap, EMPTY);
+            hcnt.assign(cap, 0);
+            uint64_t val = 0; int run_valid = 0;
+            for (int i = 0; i < n; ++i) {
+                int8_t c = seq[i];
+                val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+                run_valid = (c >= 4) ? 0 : run_valid + 1;
+                if (i >= k - 1 && run_valid >= k) {
+                    size_t h = mix64(val) & hmask;
+                    while (hvals[h] != EMPTY && hvals[h] != val)
+                        h = (h + 1) & hmask;
+                    hvals[h] = val;
+                    ++hcnt[h];
+                }
+            }
+            hoff.assign(cap + 1, 0);
+            for (size_t b = 0; b < cap; ++b) hoff[b + 1] = hoff[b] + hcnt[b];
+            pos.resize(hoff[cap]);
+            std::vector<int32_t> cursor(hoff.begin(), hoff.end() - 1);
+            val = 0; run_valid = 0;
+            for (int i = 0; i < n; ++i) {
+                int8_t c = seq[i];
+                val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+                run_valid = (c >= 4) ? 0 : run_valid + 1;
+                if (i >= k - 1 && run_valid >= k) {
+                    size_t h = mix64(val) & hmask;
+                    while (hvals[h] != val) h = (h + 1) & hmask;
+                    pos[cursor[h]++] = i - k + 1;
+                }
+            }
+            hcnt.clear();
+            hcnt.shrink_to_fit();
         }
     }
-    const std::vector<int32_t>* find(uint64_t v) const {
-        auto it = map.find(v);
-        return it == map.end() ? nullptr : &it->second;
+
+    inline PosSlice find(uint64_t v) const {
+        if (flat) {
+            if (pos.empty()) return {nullptr, nullptr};
+            return {pos.data() + flat_off[v], pos.data() + flat_off[v + 1]};
+        }
+        if (hvals.empty()) return {nullptr, nullptr};
+        size_t h = mix64(v) & hmask;
+        while (hvals[h] != EMPTY) {
+            if (hvals[h] == v)
+                return {pos.data() + hoff[h], pos.data() + hoff[h + 1]};
+            h = (h + 1) & hmask;
+        }
+        return {nullptr, nullptr};
     }
 };
 
@@ -87,46 +181,99 @@ struct RefIndex {
                                                      : rc.data(); }
 };
 
+// Anchor/seed window values + validity of one genome as QUERY; computed once
+// and shared by every pair using that genome as query.
+struct QueryWindows {
+    std::vector<uint64_t> aval, sval;
+    std::vector<uint8_t> avalid, svalid;
+
+    static void compute(const int8_t* q, int nq, int k,
+                        std::vector<uint64_t>* vals,
+                        std::vector<uint8_t>* valid) {
+        int n = nq - k + 1;
+        vals->assign(n > 0 ? n : 0, 0);
+        valid->assign(n > 0 ? n : 0, 0);
+        if (n <= 0) return;
+        uint64_t val = 0;
+        const uint64_t mask = (2 * k >= 64) ? ~0ull : ((1ull << (2 * k)) - 1);
+        int run_valid = 0;
+        for (int i = 0; i < nq; ++i) {
+            int8_t c = q[i];
+            val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
+            run_valid = (c >= 4) ? 0 : run_valid + 1;
+            if (i >= k - 1) {
+                (*vals)[i - k + 1] = val;
+                (*valid)[i - k + 1] = run_valid >= k ? 1 : 0;
+            }
+        }
+    }
+    void build(const int8_t* q, int nq, const Params& p) {
+        compute(q, nq, p.mal, &aval, &avalid);
+        compute(q, nq, p.msl, &sval, &svalid);
+    }
+};
+
 // Forward extension from an exact match of length klen at (qs, rs):
-// exact part, then approximate with a sliding mismatch window, trimmed so
-// the extension ends with a run of >= ar matches.
-// Mirrors lz_parse_py._extend.
-static void extend(const int8_t* q, int nq, const int8_t* r, int nr,
-                   int qs, int rs, int klen, const Params& p,
-                   int32_t* total_len, int32_t* nt_match) {
+// exact part, then approximate with a sliding mismatch window of length aw
+// (<= am mismatches), trimmed so the extension ends with a run of >= ar
+// matches. Mirrors lz_parse_py._extend bit-for-bit.
+static inline void extend(const int8_t* q, int nq, const int8_t* r, int nr,
+                          int qs, int rs, int klen, const Params& p,
+                          int32_t* total_len, int32_t* nt_match) {
     int i = qs + klen, j = rs + klen;
-    while (i < nq && j < nr && q[i] == r[j] && q[i] < 4) { ++i; ++j; }
+    // Exact part: 8 bases per word-compare; bit2 set <=> code 4 ('N').
+    int lim = std::min(nq - i, nr - j);
+    int t = 0;
+    while (t + 8 <= lim) {
+        uint64_t a, b;
+        std::memcpy(&a, q + i + t, 8);
+        std::memcpy(&b, r + j + t, 8);
+        if (a == b && !(a & 0x0404040404040404ull)) { t += 8; continue; }
+        break;
+    }
+    while (t < lim && q[i + t] == r[j + t] && q[i + t] < 4) ++t;
+    i += t; j += t;
     int exact_len = i - qs;
-    // Approximate extension.
-    static thread_local std::vector<uint8_t> history;
-    history.clear();
-    int window_bits = 0;                 // mismatch flags, ring via shift
-    std::vector<uint8_t> win;            // window of last aw flags
-    win.clear();
-    int head = 0;                        // (simple deque via vector+index)
-    int mism = 0;
-    (void)window_bits;
-    while (i < nq && j < nr) {
-        bool is_match = (q[i] == r[j]) && q[i] < 4;
-        uint8_t flag = is_match ? 0 : 1;
-        win.push_back(flag);
-        mism += flag;
-        if ((int)win.size() - head > p.aw) { mism -= win[head]; ++head; }
-        if (mism > p.am) break;
-        history.push_back(is_match ? 1 : 0);
-        ++i; ++j;
+
+    // Approximate part. Window = last aw mismatch flags as a bitmask; the
+    // ar-run trim is tracked forward: cut = one past the end of the
+    // rightmost run of >= ar consecutive matches.
+    int run = 0, cut = 0, match_at_cut = 0, matches = 0, consumed = 0;
+    if (p.aw < 64) {
+        const uint64_t wmask = (p.aw <= 0) ? 0ull : ((1ull << p.aw) - 1);
+        uint64_t w = 0;
+        while (i < nq && j < nr) {
+            bool is_match = (q[i] == r[j]) && q[i] < 4;
+            w = ((w << 1) | (is_match ? 0ull : 1ull)) & wmask;
+            if ((int)__builtin_popcountll(w) > p.am) break;
+            ++consumed;
+            if (is_match) {
+                ++matches;
+                if (++run >= p.ar) { cut = consumed; match_at_cut = matches; }
+            } else run = 0;
+            ++i; ++j;
+        }
+    } else {
+        // aw does not fit a word: explicit flag deque.
+        static thread_local std::vector<uint8_t> win;
+        win.clear();
+        int head = 0, mism = 0;
+        while (i < nq && j < nr) {
+            bool is_match = (q[i] == r[j]) && q[i] < 4;
+            win.push_back(is_match ? 0 : 1);
+            mism += win.back();
+            if ((int)win.size() - head > p.aw) { mism -= win[head]; ++head; }
+            if (mism > p.am) break;
+            ++consumed;
+            if (is_match) {
+                ++matches;
+                if (++run >= p.ar) { cut = consumed; match_at_cut = matches; }
+            } else run = 0;
+            ++i; ++j;
+        }
     }
-    // Trim so the approx part ends with a run of >= ar matches.
-    int run = 0, cut = 0;
-    for (int pos = (int)history.size() - 1; pos >= 0; --pos) {
-        if (history[pos]) {
-            if (++run >= p.ar) { cut = pos + run; break; }
-        } else run = 0;
-    }
-    int match_in_approx = 0;
-    for (int pos = 0; pos < cut; ++pos) match_in_approx += history[pos];
     *total_len = exact_len + cut;
-    *nt_match = exact_len + match_in_approx;
+    *nt_match = exact_len + match_at_cut;
 }
 
 // Mirrors lz_parse_py._best_candidate: longest factor; ties by
@@ -168,14 +315,21 @@ class Parser {
 public:
     Parser(const RefIndex* ri, const Params& p) : ri_(ri), p_(p) {}
 
-    void parse(const int8_t* q, int nq, std::vector<Alignment>* out) {
+    // qw: precomputed window values of q (may be null -> computed locally).
+    void parse(const int8_t* q, int nq, const QueryWindows* qw,
+               std::vector<Alignment>* out) {
         q_ = q; nq_ = nq;
         out_ = out;
         prev_factor_end_ = -1;
         region_.strand = -1;
-        // Precompute query window values + validity for anchors and seeds.
-        compute_windows(p_.mal, &aval_, &avalid_);
-        compute_windows(p_.msl, &sval_, &svalid_);
+        QueryWindows local;
+        if (!qw) { local.build(q, nq, p_); qw = &local; }
+        const uint64_t* aval = qw->aval.data();
+        const uint64_t* sval = qw->sval.data();
+        const uint8_t* avalid = qw->avalid.data();
+        const uint8_t* svalid = qw->svalid.data();
+        const int n_aw = (int)qw->aval.size();
+        const int n_sw = (int)qw->sval.size();
 
         int i = 0;
         while (i < nq_) {
@@ -186,22 +340,24 @@ public:
                 const Factor& last = region_.factors.back();
                 if (i - last.qe - 1 > p_.mqd) {
                     close_region();
-                } else if (i < (int)svalid_.size() && svalid_[i]) {
-                    const auto* pos = ri_->seeds[strand].find(sval_[i]);
-                    if (pos) {
+                } else if (i < n_sw && svalid[i]) {
+                    PosSlice s = ri_->seeds[strand].find(sval[i]);
+                    if (s.begin != s.end) {
                         int64_t expected = last.re + (i - last.qe);
                         int64_t lo_v = last.re + 1 - p_.seed_back;
                         int64_t width = p_.mrd +
                             (p_.seed_window_qscale ? (i - last.qe) : 0);
                         int64_t hi_v = last.re + 1 + width;
-                        auto lo = std::lower_bound(pos->begin(), pos->end(),
-                                                   (int32_t)lo_v);
-                        auto hi = std::lower_bound(pos->begin(), pos->end(),
-                                                   (int32_t)hi_v);
+                        const int32_t* lo = std::lower_bound(
+                            s.begin, s.end, (int32_t)std::max<int64_t>(
+                                lo_v, INT32_MIN));
+                        const int32_t* hi = std::lower_bound(
+                            s.begin, s.end, (int32_t)std::min<int64_t>(
+                                hi_v, INT32_MAX));
                         if (lo < hi) {
                             if (best_candidate(
                                     q_, nq_, ri_->strand(strand), ri_->n,
-                                    i, &*lo, (int)(hi - lo), p_.msl, p_,
+                                    i, lo, (int)(hi - lo), p_.msl, p_,
                                     expected, &f_j, &f_len, &f_match)) {
                                 have_factor = true;
                                 f_strand = strand;
@@ -210,19 +366,19 @@ public:
                     }
                 }
             }
-            if (!have_factor && i < (int)avalid_.size() && avalid_[i] &&
+            if (!have_factor && i < n_aw && avalid[i] &&
                 (region_.strand < 0 || p_.anchor_in_region)) {
                 // Anchor: consider both strands, longest extension wins.
                 bool have = false;
                 int b_strand = 0; int32_t b_j = 0, b_len = 0, b_match = 0;
                 for (int strand = 0; strand < 2; ++strand) {
-                    const auto* pos = ri_->anchors[strand].find(aval_[i]);
-                    if (!pos) continue;
+                    PosSlice s = ri_->anchors[strand].find(aval[i]);
+                    if (s.begin == s.end) continue;
                     int32_t j, len, match;
                     if (best_candidate(q_, nq_, ri_->strand(strand),
-                                       ri_->n, i, pos->data(),
-                                       (int)pos->size(), p_.mal, p_, -1,
-                                       &j, &len, &match)) {
+                                       ri_->n, i, s.begin,
+                                       (int)(s.end - s.begin), p_.mal, p_,
+                                       -1, &j, &len, &match)) {
                         if (!have || len > b_len) {
                             have = true;
                             b_strand = strand; b_j = j; b_len = len;
@@ -279,33 +435,31 @@ public:
     }
 
 private:
-    void compute_windows(int k, std::vector<uint64_t>* vals,
-                         std::vector<uint8_t>* valid) {
-        int n = nq_ - k + 1;
-        vals->assign(n > 0 ? n : 0, 0);
-        valid->assign(n > 0 ? n : 0, 0);
-        if (n <= 0) return;
-        uint64_t val = 0;
-        const uint64_t mask = (1ull << (2 * k)) - 1;
-        int run_valid = 0;
-        for (int i = 0; i < nq_; ++i) {
-            int8_t c = q_[i];
-            val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
-            run_valid = (c >= 4) ? 0 : run_valid + 1;
-            if (i >= k - 1) {
-                (*vals)[i - k + 1] = val;
-                (*valid)[i - k + 1] = run_valid >= k ? 1 : 0;
-            }
-        }
-        // vals currently holds the window ENDING at i; shift so index is
-        // the window start (done above via i-k+1). Nothing further needed.
-    }
-
     int gap_matches(const int8_t* r, int nr, int qe1, int re1, int qs2,
                     int rs2) {
         int gap = qs2 - qe1 - 1;
         if (gap <= 0 || p_.gap_policy == 0) return 0;
-        int prev_cnt = 0, next_cnt = 0;
+        if (p_.gap_policy == 1) {             // prev diagonal
+            int cnt = 0;
+            for (int t = 0; t < gap; ++t) {
+                int rj = re1 + 1 + t;
+                if (rj >= nr) break;
+                int8_t qc = q_[qe1 + 1 + t];
+                cnt += (qc == r[rj]) && qc < 4;
+            }
+            return cnt;
+        }
+        if (p_.gap_policy == 2) {             // next diagonal
+            int cnt = 0;
+            for (int t = 0; t < gap; ++t) {
+                int rj = rs2 - gap + t;
+                if (rj < 0) continue;
+                int8_t qc = q_[qe1 + 1 + t];
+                cnt += (qc == r[rj]) && qc < 4;
+            }
+            return cnt;
+        }
+        // split: best prefix on prev diagonal + suffix on next diagonal.
         static thread_local std::vector<uint8_t> prev_cmp, next_cmp;
         prev_cmp.assign(gap, 0);
         next_cmp.assign(gap, 0);
@@ -317,16 +471,11 @@ private:
             int qi = qe1 + 1 + t, rj = rs2 - gap + t;
             if (rj >= 0 && q_[qi] == r[rj] && q_[qi] < 4) next_cmp[t] = 1;
         }
-        for (int t = 0; t < gap; ++t) { prev_cnt += prev_cmp[t];
-                                        next_cnt += next_cmp[t]; }
-        if (p_.gap_policy == 1) return prev_cnt;
-        if (p_.gap_policy == 2) return next_cnt;
-        // split: best prefix on prev diagonal + suffix on next diagonal.
-        int best = 0, pc = 0;
-        std::vector<int> suffix(gap + 1, 0);
+        static thread_local std::vector<int> suffix;
+        suffix.assign(gap + 1, 0);
         for (int t = gap - 1; t >= 0; --t)
             suffix[t] = suffix[t + 1] + next_cmp[t];
-        best = suffix[0];
+        int best = suffix[0], pc = 0;
         for (int s = 1; s <= gap; ++s) {
             pc += prev_cmp[s - 1];
             if (pc + suffix[s] > best) best = pc + suffix[s];
@@ -334,33 +483,50 @@ private:
         return best;
     }
 
+    // Backward approximate extension from (qs-1, rs-1) down to qlimit
+    // (exclusive); same window + ar-run trim rules as forward.
     void back_extend(const int8_t* r, int qs, int rs, int qlimit,
                      int32_t* ext_len, int32_t* ext_match) {
-        static thread_local std::vector<uint8_t> history;
-        static thread_local std::vector<uint8_t> win;
-        history.clear(); win.clear();
-        int head = 0, mism = 0;
+        int run = 0, cut = 0, match_at_cut = 0, matches = 0, consumed = 0;
         int i = qs - 1, j = rs - 1;
-        while (i > qlimit && j >= 0) {
-            bool is_match = (q_[i] == r[j]) && q_[i] < 4;
-            uint8_t flag = is_match ? 0 : 1;
-            win.push_back(flag);
-            mism += flag;
-            if ((int)win.size() - head > p_.aw) { mism -= win[head]; ++head; }
-            if (mism > p_.am) break;
-            history.push_back(is_match ? 1 : 0);
-            --i; --j;
+        if (p_.aw < 64) {
+            const uint64_t wmask = (p_.aw <= 0) ? 0ull
+                                                : ((1ull << p_.aw) - 1);
+            uint64_t w = 0;
+            while (i > qlimit && j >= 0) {
+                bool is_match = (q_[i] == r[j]) && q_[i] < 4;
+                w = ((w << 1) | (is_match ? 0ull : 1ull)) & wmask;
+                if ((int)__builtin_popcountll(w) > p_.am) break;
+                ++consumed;
+                if (is_match) {
+                    ++matches;
+                    if (++run >= p_.ar) { cut = consumed;
+                                          match_at_cut = matches; }
+                } else run = 0;
+                --i; --j;
+            }
+        } else {
+            static thread_local std::vector<uint8_t> win;
+            win.clear();
+            int head = 0, mism = 0;
+            while (i > qlimit && j >= 0) {
+                bool is_match = (q_[i] == r[j]) && q_[i] < 4;
+                win.push_back(is_match ? 0 : 1);
+                mism += win.back();
+                if ((int)win.size() - head > p_.aw) { mism -= win[head];
+                                                      ++head; }
+                if (mism > p_.am) break;
+                ++consumed;
+                if (is_match) {
+                    ++matches;
+                    if (++run >= p_.ar) { cut = consumed;
+                                          match_at_cut = matches; }
+                } else run = 0;
+                --i; --j;
+            }
         }
-        int run = 0, cut = 0;
-        for (int pos = (int)history.size() - 1; pos >= 0; --pos) {
-            if (history[pos]) {
-                if (++run >= p_.ar) { cut = pos + run; break; }
-            } else run = 0;
-        }
-        int m = 0;
-        for (int pos = 0; pos < cut; ++pos) m += history[pos];
         *ext_len = cut;
-        *ext_match = m;
+        *ext_match = match_at_cut;
     }
 
     void close_region() {
@@ -405,8 +571,6 @@ private:
     std::vector<Alignment>* out_ = nullptr;
     int prev_factor_end_ = -1;
     Region region_;
-    std::vector<uint64_t> aval_, sval_;
-    std::vector<uint8_t> avalid_, svalid_;
 };
 
 }  // namespace
@@ -431,7 +595,7 @@ int32_t lz_parse(void* index_handle, const int8_t* q, int32_t nq,
     auto* ri = static_cast<RefIndex*>(index_handle);
     std::vector<Alignment> alns;
     Parser parser(ri, *p);
-    parser.parse(q, nq, &alns);
+    parser.parse(q, nq, nullptr, &alns);
     int32_t n = (int32_t)alns.size();
     int32_t n_write = std::min(n, max_out);
     for (int32_t k = 0; k < n_write; ++k) {
@@ -450,11 +614,12 @@ int32_t lz_parse(void* index_handle, const int8_t* q, int32_t nq,
 // Batch all-vs-all API: thread pool over candidate pairs.
 //
 // This is the lz-ani analog of the reference's `-t` multithreading
-// (reference vclust.py:1058-1181): references are indexed once, then a pool
-// of workers pulls pair indices from an atomic counter. Results are stored
-// by pair index, so the output is bit-deterministic regardless of thread
-// scheduling (the md5-stability property pinned by the reference's
-// large-data CI, SURVEY.md section 4.3).
+// (reference vclust.py:1058-1181): references are indexed once (and query
+// window values precomputed once per genome), then a pool of workers pulls
+// pair indices from an atomic counter. Results are stored by pair index, so
+// the output is bit-deterministic regardless of thread scheduling (the
+// md5-stability property pinned by the reference's large-data CI,
+// SURVEY.md section 4.3).
 // ---------------------------------------------------------------------------
 
 struct BatchResult {
@@ -495,7 +660,7 @@ void* lz_all2all(const int8_t* codes, const int64_t* offsets,
     if (hw > 0 && n_threads > hw) n_threads = hw;
 
     // Index every genome that appears in some pair (both directions use
-    // both genomes as reference).
+    // both genomes as reference) and precompute its query windows.
     std::vector<uint8_t> needed(n_genomes, 0);
     std::vector<int32_t> to_index;
     for (int64_t k = 0; k < n_pairs; ++k) {
@@ -505,6 +670,7 @@ void* lz_all2all(const int8_t* codes, const int64_t* offsets,
         }
     }
     std::vector<std::unique_ptr<RefIndex>> idx(n_genomes);
+    std::vector<std::unique_ptr<QueryWindows>> qwin(n_genomes);
     {
         std::atomic<size_t> next(0);
         auto worker = [&]() {
@@ -512,10 +678,14 @@ void* lz_all2all(const int8_t* codes, const int64_t* offsets,
                 size_t t = next.fetch_add(1);
                 if (t >= to_index.size()) break;
                 int32_t g = to_index[t];
+                const int8_t* seq = codes + offsets[g];
+                int len = (int)(offsets[g + 1] - offsets[g]);
                 auto ri = std::make_unique<RefIndex>();
-                ri->build(codes + offsets[g],
-                          (int)(offsets[g + 1] - offsets[g]), *p);
+                ri->build(seq, len, *p);
                 idx[g] = std::move(ri);
+                auto qw = std::make_unique<QueryWindows>();
+                qw->build(seq, len, *p);
+                qwin[g] = std::move(qw);
             }
         };
         std::vector<std::thread> pool;
@@ -536,12 +706,14 @@ void* lz_all2all(const int8_t* codes, const int64_t* offsets,
                 {
                     Parser parser(idx[i].get(), *p);
                     parser.parse(codes + offsets[j],
-                                 (int)(offsets[j + 1] - offsets[j]), &a_ji);
+                                 (int)(offsets[j + 1] - offsets[j]),
+                                 qwin[j].get(), &a_ji);
                 }
                 {
                     Parser parser(idx[j].get(), *p);
                     parser.parse(codes + offsets[i],
-                                 (int)(offsets[i + 1] - offsets[i]), &a_ij);
+                                 (int)(offsets[i + 1] - offsets[i]),
+                                 qwin[i].get(), &a_ij);
                 }
                 int64_t* agg = &res->agg[(size_t)k * 6];
                 sum_alns(a_ji, agg, agg + 1, agg + 2);

@@ -68,6 +68,11 @@ struct KmerIndex {
     std::vector<int32_t> hoff;           // capacity + 1 used as bucket start
     std::vector<int32_t> hcnt;           // capacity (during build)
     uint64_t hmask = 0;
+    // presence bitmap (Bloom, 1 probe): most lookups in a dissimilar pair
+    // miss, and this keeps a miss to one L1/L2 bit test instead of a probe
+    // chain through the (much larger) hash table.
+    std::vector<uint64_t> bloom;
+    uint64_t bloom_mask = 0;
     // shared
     std::vector<int32_t> pos;
 
@@ -84,13 +89,17 @@ struct KmerIndex {
         if (flat) {
             size_t nb = 1u << (2 * k);
             flat_off.assign(nb + 1, 0);
+            bloom.assign((nb + 63) / 64, 0);   // exact presence bits (L1)
             // pass 1: counts
             uint64_t val = 0; int run_valid = 0;
             for (int i = 0; i < n; ++i) {
                 int8_t c = seq[i];
                 val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
                 run_valid = (c >= 4) ? 0 : run_valid + 1;
-                if (i >= k - 1 && run_valid >= k) ++flat_off[val + 1];
+                if (i >= k - 1 && run_valid >= k) {
+                    ++flat_off[val + 1];
+                    bloom[val >> 6] |= 1ull << (val & 63);
+                }
             }
             for (size_t b = 0; b < nb; ++b) flat_off[b + 1] += flat_off[b];
             pos.resize(flat_off[nb]);
@@ -110,17 +119,24 @@ struct KmerIndex {
             hmask = cap - 1;
             hvals.assign(cap, EMPTY);
             hcnt.assign(cap, 0);
+            // ~4 bits per k-mer -> FPR ~ 1 - e^-0.25 ~ 22%
+            size_t bloom_bits = cap * 2;
+            bloom.assign(bloom_bits / 64, 0);
+            bloom_mask = bloom_bits - 1;
             uint64_t val = 0; int run_valid = 0;
             for (int i = 0; i < n; ++i) {
                 int8_t c = seq[i];
                 val = ((val << 2) | (uint64_t)(c >= 4 ? 0 : c)) & mask;
                 run_valid = (c >= 4) ? 0 : run_valid + 1;
                 if (i >= k - 1 && run_valid >= k) {
-                    size_t h = mix64(val) & hmask;
+                    uint64_t hv = mix64(val);
+                    size_t h = hv & hmask;
                     while (hvals[h] != EMPTY && hvals[h] != val)
                         h = (h + 1) & hmask;
                     hvals[h] = val;
                     ++hcnt[h];
+                    uint64_t b = (hv >> 17) & bloom_mask;
+                    bloom[b >> 6] |= 1ull << (b & 63);
                 }
             }
             hoff.assign(cap + 1, 0);
@@ -145,11 +161,22 @@ struct KmerIndex {
 
     inline PosSlice find(uint64_t v) const {
         if (flat) {
-            if (pos.empty()) return {nullptr, nullptr};
+            if (pos.empty() ||
+                !(bloom[v >> 6] & (1ull << (v & 63))))
+                return {nullptr, nullptr};
             return {pos.data() + flat_off[v], pos.data() + flat_off[v + 1]};
         }
         if (hvals.empty()) return {nullptr, nullptr};
-        size_t h = mix64(v) & hmask;
+        uint64_t hv = mix64(v);
+        uint64_t b = (hv >> 17) & bloom_mask;
+        if (!(bloom[b >> 6] & (1ull << (b & 63)))) return {nullptr, nullptr};
+        return find_nobloom(v, hv);
+    }
+
+    // Hash-mode probe without the bloom test (caller already screened).
+    inline PosSlice find_nobloom(uint64_t v, uint64_t hv) const {
+        if (hvals.empty()) return {nullptr, nullptr};
+        size_t h = hv & hmask;
         while (hvals[h] != EMPTY) {
             if (hvals[h] == v)
                 return {pos.data() + hoff[h], pos.data() + hoff[h + 1]};
@@ -159,32 +186,11 @@ struct KmerIndex {
     }
 };
 
-struct RefIndex {
-    int n;
-    std::vector<int8_t> fwd, rc;
-    KmerIndex anchors[2], seeds[2];
-
-    void build(const int8_t* seq, int len, const Params& p) {
-        n = len;
-        fwd.assign(seq, seq + len);
-        rc.resize(len);
-        for (int i = 0; i < len; ++i) {
-            int8_t c = seq[len - 1 - i];
-            rc[i] = c >= 4 ? 4 : (int8_t)(3 - c);
-        }
-        anchors[0].build(fwd.data(), len, p.mal);
-        anchors[1].build(rc.data(), len, p.mal);
-        seeds[0].build(fwd.data(), len, p.msl);
-        seeds[1].build(rc.data(), len, p.msl);
-    }
-    const int8_t* strand(int s) const { return s == 0 ? fwd.data()
-                                                     : rc.data(); }
-};
-
 // Anchor/seed window values + validity of one genome as QUERY; computed once
 // and shared by every pair using that genome as query.
 struct QueryWindows {
     std::vector<uint64_t> aval, sval;
+    std::vector<uint64_t> ahash;    // mix64(aval[i]), ref-independent
     std::vector<uint8_t> avalid, svalid;
 
     static void compute(const int8_t* q, int nq, int k,
@@ -210,8 +216,88 @@ struct QueryWindows {
     void build(const int8_t* q, int nq, const Params& p) {
         compute(q, nq, p.mal, &aval, &avalid);
         compute(q, nq, p.msl, &sval, &svalid);
+        ahash.resize(aval.size());
+        for (size_t t = 0; t < aval.size(); ++t)
+            ahash[t] = mix64(aval[t]);
     }
 };
+
+struct RefIndex {
+    int n;
+    std::vector<int8_t> fwd, rc;
+    KmerIndex anchors[2];
+    // Seed window values per strand position: the in-region seed search is
+    // window-constrained to ~mrd+mqd reference positions, so a sequential
+    // (SIMD) compare over this contiguous array beats any hash/CSR lookup
+    // (and the CSR seed index is not needed at all). Invalid windows (N
+    // runs) are stored as the sentinel ~0ull, impossible for 2*msl < 64.
+    std::vector<uint64_t> svals[2];
+    // Non-empty only when 2*msl >= 64 (sentinel ambiguous): explicit
+    // validity mask checked during candidate collection.
+    std::vector<uint8_t> svalid_wide[2];
+    // Union of both strands' anchor blooms (hash mode): the common case in a
+    // dissimilar pair is "anchor on neither strand" — screen it with one
+    // probe instead of two.
+    std::vector<uint64_t> anchor_bloom2;
+    uint64_t anchor_bloom2_mask = 0;
+    bool anchors_hashed = false;
+
+    void build(const int8_t* seq, int len, const Params& p) {
+        n = len;
+        fwd.assign(seq, seq + len);
+        rc.resize(len);
+        for (int i = 0; i < len; ++i) {
+            int8_t c = seq[len - 1 - i];
+            rc[i] = c >= 4 ? 4 : (int8_t)(3 - c);
+        }
+        anchors[0].build(fwd.data(), len, p.mal);
+        anchors[1].build(rc.data(), len, p.mal);
+        for (int s = 0; s < 2; ++s) {
+            std::vector<uint8_t> ok;
+            QueryWindows::compute(s == 0 ? fwd.data() : rc.data(), len,
+                                  p.msl, &svals[s], &ok);
+            if (2 * p.msl < 64) {
+                for (size_t t = 0; t < ok.size(); ++t)
+                    if (!ok[t]) svals[s][t] = ~0ull;
+                svalid_wide[s].clear();
+            } else {
+                svalid_wide[s] = std::move(ok);
+            }
+        }
+        anchors_hashed = !anchors[0].flat;
+        if (anchors_hashed &&
+            anchors[0].bloom_mask == anchors[1].bloom_mask &&
+            !anchors[0].bloom.empty()) {
+            anchor_bloom2_mask = anchors[0].bloom_mask;
+            anchor_bloom2.resize(anchors[0].bloom.size());
+            for (size_t t = 0; t < anchor_bloom2.size(); ++t)
+                anchor_bloom2[t] = anchors[0].bloom[t] | anchors[1].bloom[t];
+        } else {
+            anchor_bloom2.clear();
+        }
+    }
+
+    // Anchor candidate slices on both strands with a single merged-bloom
+    // screen; bit-equivalent to anchors[s].find(v).
+    inline void find_anchors(uint64_t v, uint64_t hv,
+                             PosSlice out[2]) const {
+        if (!anchor_bloom2.empty()) {
+            uint64_t b = (hv >> 17) & anchor_bloom2_mask;
+            if (!(anchor_bloom2[b >> 6] & (1ull << (b & 63)))) {
+                out[0] = out[1] = {nullptr, nullptr};
+                return;
+            }
+            out[0] = anchors[0].find_nobloom(v, hv);
+            out[1] = anchors[1].find_nobloom(v, hv);
+            return;
+        }
+        out[0] = anchors[0].find(v);
+        out[1] = anchors[1].find(v);
+    }
+    const int8_t* strand(int s) const { return s == 0 ? fwd.data()
+                                                     : rc.data(); }
+};
+
 
 // Forward extension from an exact match of length klen at (qs, rs):
 // exact part, then approximate with a sliding mismatch window of length aw
@@ -325,6 +411,7 @@ public:
         QueryWindows local;
         if (!qw) { local.build(q, nq, p_); qw = &local; }
         const uint64_t* aval = qw->aval.data();
+        const uint64_t* ahash = qw->ahash.data();
         const uint64_t* sval = qw->sval.data();
         const uint8_t* avalid = qw->avalid.data();
         const uint8_t* svalid = qw->svalid.data();
@@ -341,27 +428,41 @@ public:
                 if (i - last.qe - 1 > p_.mqd) {
                     close_region();
                 } else if (i < n_sw && svalid[i]) {
-                    PosSlice s = ri_->seeds[strand].find(sval[i]);
-                    if (s.begin != s.end) {
-                        int64_t expected = last.re + (i - last.qe);
-                        int64_t lo_v = last.re + 1 - p_.seed_back;
-                        int64_t width = p_.mrd +
-                            (p_.seed_window_qscale ? (i - last.qe) : 0);
-                        int64_t hi_v = last.re + 1 + width;
-                        const int32_t* lo = std::lower_bound(
-                            s.begin, s.end, (int32_t)std::max<int64_t>(
-                                lo_v, INT32_MIN));
-                        const int32_t* hi = std::lower_bound(
-                            s.begin, s.end, (int32_t)std::min<int64_t>(
-                                hi_v, INT32_MAX));
-                        if (lo < hi) {
-                            if (best_candidate(
-                                    q_, nq_, ri_->strand(strand), ri_->n,
-                                    i, lo, (int)(hi - lo), p_.msl, p_,
-                                    expected, &f_j, &f_len, &f_match)) {
-                                have_factor = true;
-                                f_strand = strand;
-                            }
+                    // Window-constrained seed search: scan the contiguous
+                    // per-position seed-value array of the reference strand
+                    // over [lo_v, hi_v) — candidates ascending, exactly the
+                    // set the CSR lookup + lower_bound used to produce.
+                    int64_t expected = last.re + (i - last.qe);
+                    int64_t lo_v = last.re + 1 - p_.seed_back;
+                    int64_t width = p_.mrd +
+                        (p_.seed_window_qscale ? (i - last.qe) : 0);
+                    int64_t hi_v = last.re + 1 + width;
+                    const auto& rsv = ri_->svals[strand];
+                    const auto& rsok = ri_->svalid_wide[strand];
+                    int64_t lo = std::max<int64_t>(lo_v, 0);
+                    int64_t hi = std::min<int64_t>(hi_v,
+                                                   (int64_t)rsv.size());
+                    const uint64_t want = sval[i];
+                    // Vectorizable any-hit scan first; collect only on hit.
+                    const uint64_t* base = rsv.data();
+                    uint64_t any = 0;
+                    for (int64_t t = lo; t < hi; ++t)
+                        any |= (uint64_t)(base[t] == want);
+                    cand_.clear();
+                    if (any) {
+                        for (int64_t t = lo; t < hi; ++t)
+                            if (base[t] == want &&
+                                (rsok.empty() || rsok[t]))
+                                cand_.push_back((int32_t)t);
+                    }
+                    if (!cand_.empty()) {
+                        if (best_candidate(
+                                q_, nq_, ri_->strand(strand), ri_->n,
+                                i, cand_.data(), (int)cand_.size(),
+                                p_.msl, p_,
+                                expected, &f_j, &f_len, &f_match)) {
+                            have_factor = true;
+                            f_strand = strand;
                         }
                     }
                 }
@@ -371,8 +472,10 @@ public:
                 // Anchor: consider both strands, longest extension wins.
                 bool have = false;
                 int b_strand = 0; int32_t b_j = 0, b_len = 0, b_match = 0;
+                PosSlice slices[2];
+                ri_->find_anchors(aval[i], ahash[i], slices);
                 for (int strand = 0; strand < 2; ++strand) {
-                    PosSlice s = ri_->anchors[strand].find(aval[i]);
+                    PosSlice s = slices[strand];
                     if (s.begin == s.end) continue;
                     int32_t j, len, match;
                     if (best_candidate(q_, nq_, ri_->strand(strand),
@@ -571,6 +674,7 @@ private:
     std::vector<Alignment>* out_ = nullptr;
     int prev_factor_end_ = -1;
     Region region_;
+    std::vector<int32_t> cand_;   // seed-candidate scratch (reused)
 };
 
 }  // namespace
@@ -695,33 +799,47 @@ void* lz_all2all(const int8_t* codes, const int64_t* offsets,
     }
 
     {
+        // Directed parse tasks ordered by REFERENCE genome, so consecutive
+        // tasks reuse a hot index (the parse streams the whole anchor table;
+        // switching references every task thrashes LLC). Each task writes
+        // only its own slot, so the output stays bit-deterministic at any
+        // thread count.
+        struct Task { int32_t ref, query; int64_t slot; };
+        std::vector<Task> tasks;
+        tasks.reserve((size_t)n_pairs * 2);
+        for (int64_t k = 0; k < n_pairs; ++k) {
+            int32_t i = pairs[2 * k], j = pairs[2 * k + 1];
+            tasks.push_back(Task{i, j, 2 * k});        // direction q=j, r=i
+            tasks.push_back(Task{j, i, 2 * k + 1});    // direction q=i, r=j
+        }
+        std::stable_sort(tasks.begin(), tasks.end(),
+                         [](const Task& a, const Task& b) {
+                             return a.ref < b.ref;
+                         });
+        std::vector<std::vector<Alignment>>& out = res->alns;
         std::atomic<int64_t> next(0);
+        const int64_t n_tasks = (int64_t)tasks.size();
         auto worker = [&]() {
-            std::vector<Alignment> a_ji, a_ij;
+            std::vector<Alignment> a;
+            std::unique_ptr<Parser> parser;
+            int32_t cur_ref = -1;
             for (;;) {
-                int64_t k = next.fetch_add(1);
-                if (k >= n_pairs) break;
-                int32_t i = pairs[2 * k], j = pairs[2 * k + 1];
-                a_ji.clear(); a_ij.clear();
-                {
-                    Parser parser(idx[i].get(), *p);
-                    parser.parse(codes + offsets[j],
-                                 (int)(offsets[j + 1] - offsets[j]),
-                                 qwin[j].get(), &a_ji);
+                int64_t t = next.fetch_add(1);
+                if (t >= n_tasks) break;
+                const Task& tk = tasks[t];
+                if (tk.ref != cur_ref) {
+                    parser = std::make_unique<Parser>(idx[tk.ref].get(), *p);
+                    cur_ref = tk.ref;
                 }
-                {
-                    Parser parser(idx[j].get(), *p);
-                    parser.parse(codes + offsets[i],
-                                 (int)(offsets[i + 1] - offsets[i]),
-                                 qwin[i].get(), &a_ij);
-                }
-                int64_t* agg = &res->agg[(size_t)k * 6];
-                sum_alns(a_ji, agg, agg + 1, agg + 2);
-                sum_alns(a_ij, agg + 3, agg + 4, agg + 5);
-                if (res->kept) {
-                    res->alns[(size_t)k * 2] = a_ji;
-                    res->alns[(size_t)k * 2 + 1] = a_ij;
-                }
+                a.clear();
+                parser->parse(codes + offsets[tk.query],
+                              (int)(offsets[tk.query + 1]
+                                    - offsets[tk.query]),
+                              qwin[tk.query].get(), &a);
+                int64_t* agg = &res->agg[(size_t)(tk.slot / 2) * 6
+                                         + (tk.slot % 2) * 3];
+                sum_alns(a, agg, agg + 1, agg + 2);
+                if (res->kept) out[(size_t)tk.slot] = a;
             }
         };
         std::vector<std::thread> pool;

@@ -37,7 +37,7 @@ def gap_credits(q, rseq, a, b):
     a=(qs,qe,rs,re) and b."""
     gap = b[0] - a[1] - 1
     if gap <= 0:
-        return 0, 0, 0, 0
+        return 0, 0, 0, 0, 0
     gq = q[a[1] + 1:b[0]]
     prev_cmp = np.zeros(gap, dtype=bool)
     seg = rseq[a[3] + 1:a[3] + 1 + gap]
@@ -48,7 +48,26 @@ def gap_credits(q, rseq, a, b):
         (gq[gap - len(seg2):] < 4)
     pc = np.concatenate([[0], np.cumsum(prev_cmp)])
     nc = np.concatenate([[0], np.cumsum(nxt_cmp[::-1])])[::-1]
-    return int(prev_cmp.sum()), int(nxt_cmp.sum()), int((pc + nc).max()), gap
+    either = int((prev_cmp | nxt_cmp).sum())
+    return (int(prev_cmp.sum()), int(nxt_cmp.sum()), int((pc + nc).max()),
+            either, gap)
+
+
+def lcs_matches(a, b):
+    """Max matches along any edit path between segments a and b (= LCS)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    for i in range(1, len(a) + 1):
+        cur = np.zeros(len(b) + 1, dtype=np.int32)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1] and ai < 4:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return int(prev[-1])
 
 
 def main():
@@ -101,13 +120,19 @@ def main():
                 seg_q = q[qs:qe + 1]
                 seg_r = rseq[rs:rs + (qe - qs + 1)]
                 fac_match += int(((seg_q == seg_r) & (seg_q < 4)).sum())
-            credit = {k: 0 for k in ('prev', 'next', 'split', 'mismatch')}
+            credit = {k: 0 for k in ('prev', 'next', 'split', 'either',
+                                     'lcs', 'mismatch')}
             tot_gap = 0
             for fa, fb in zip(factors, factors[1:]):
-                p_, n_, s_, g_ = gap_credits(q, rseq, fa, fb)
+                p_, n_, s_, e_, g_ = gap_credits(q, rseq, fa, fb)
                 credit['prev'] += p_
                 credit['next'] += n_
                 credit['split'] += s_
+                credit['either'] += e_
+                if g_ > 0:
+                    gq = q[fa[1] + 1:fb[0]]
+                    gr = rseq[fa[3] + 1:fb[2]]
+                    credit['lcs'] += lcs_matches(gq, gr)
                 tot_gap += g_
             # back-extension contribution = a.nt_match - (fac + prev-credit)
             # under current policy 'prev'; isolate it:
@@ -119,7 +144,7 @@ def main():
                 verdicts['fits:' + '+'.join(sorted(fits))] += 1
             else:
                 verdicts['no-fit'] += 1
-                residuals[target - credit['split']] += 1
+                residuals[target - credit['either']] += 1
             if shown < int(sys.argv[2] if len(sys.argv) > 2 else 0):
                 shown += 1
                 print(f'{names[qpos]} vs {names[rpos]} q[{key[0]},{key[1]}] '

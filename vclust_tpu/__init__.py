@@ -11,6 +11,10 @@ Public constants mirror the reference's module-level API surface
 
 __version__ = '0.1.0'
 
+from .utils.alloc import tune_host_allocator as _tune_host_allocator
+
+_tune_host_allocator()
+
 CITATION = (
     'vclust-tpu: TPU-native reimplementation of Vclust '
     '(Zielezinski A, Gudys A et al. (2025) Nat Methods, '

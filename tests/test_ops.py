@@ -129,3 +129,34 @@ def test_pattern_dedup_counts_match_host():
     idx = PrefilterIndex(sets)
     assert idx.dedup_ratio > 2.0               # compression actually engaged
     assert np.array_equal(shared_kmer_counts_indexed(idx), host)
+
+
+def test_native_index_matches_numpy_patterns():
+    """The native C++ index build (native/kmerindex.cpp) produces the same
+    pattern multiset (gid sequences, lengths, weights) and group count as
+    the numpy pipeline for random corpora."""
+    import numpy as np
+    from vclust_tpu.ops.prefilter import PrefilterIndex
+    from vclust_tpu.ops import kmer_native
+
+    if not kmer_native.available():
+        import pytest
+        pytest.skip('native index engine unavailable')
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        n = int(rng.integers(2, 12))
+        sets = [np.unique(rng.integers(
+            0, 300, int(rng.integers(0, 200))).astype(np.uint64))
+            for _ in range(n)]
+        a = PrefilterIndex(sets, engine='native')
+        b = PrefilterIndex(sets, engine='numpy')
+        assert a.n_groups == b.n_groups
+
+        def canon(ix):
+            out, off = [], 0
+            for L, w in zip(ix.lens, ix.weights):
+                out.append((tuple(ix.gids[off:off + L]), int(w)))
+                off += L
+            return sorted(out)
+        assert canon(a) == canon(b)

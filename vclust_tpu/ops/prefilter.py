@@ -141,9 +141,17 @@ class PrefilterIndex:
     that turns it into exact pair counts on the MXU.
     """
 
-    def __init__(self, kmer_sets, dedup: bool = True):
+    def __init__(self, kmer_sets, dedup: bool = True, engine: str = 'auto'):
         self.n = len(kmer_sets)
         self.sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
+        if dedup and engine in ('auto', 'native'):
+            from . import kmer_native
+            native = kmer_native.build_index(kmer_sets)
+            if native is not None:
+                self.gids, self.lens, self.weights, self.n_groups = native
+                return
+            if engine == 'native':
+                raise RuntimeError('native index engine unavailable')
         sg, lens = _group_coo(kmer_sets)
         self.n_groups = len(lens)
         if dedup:

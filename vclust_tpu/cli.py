@@ -201,6 +201,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help='Max. no. of mismatches in approx. window [7]')
     p.add_argument('--ar', metavar='<int>', type=int, default=3,
                    help='Min. length of run ending approx. extension [3]')
+    p.add_argument('--engine', metavar='<name>', type=str, default='auto',
+                   choices=['auto', 'native', 'py', 'tpu'],
+                   help='Align engine: auto, native (exact C++, '
+                        'golden-parity), py (exact Python oracle), tpu '
+                        '(batched TPU measures) [auto]')
     _add_common(p)
 
     # --- cluster -----------------------------------------------------------
@@ -372,7 +377,7 @@ def handle_align(args):
         genomes, params=params, filter_matrix=filter_matrix,
         filter_threshold=args.filter_threshold, out_filters=out_filters,
         keep_alignments=args.aln_path is not None,
-        num_threads=args.num_threads)
+        num_threads=args.num_threads, engine=args.engine)
     ids_path = pathlib.Path(
         str(args.output_path).rsplit('.', 1)[0] + '.ids.tsv'
         if args.output_path.suffix else str(args.output_path) + '.ids.tsv')

@@ -128,6 +128,14 @@ def run_align(
     if engine == 'native' and not lz_native.available():
         raise RuntimeError('native align engine unavailable')
 
+    if engine == 'tpu':
+        if keep_alignments:
+            raise ValueError(
+                'the tpu align engine produces measure aggregates, not '
+                'per-alignment rows; drop --out-aln or use --engine native')
+        return _run_align_tpu(genomes, order, objects, result, candidates,
+                              params, out_filters)
+
     if use_native:
         return _run_align_native(genomes, order, objects, result, candidates,
                                  params, out_filters, keep_alignments,
@@ -189,6 +197,48 @@ def run_align(
                             rstart=a.rstart + 1, rend=a.rend + 1,
                             nt_match=a.nt_match,
                             nt_mismatch=a.nt_mismatch))
+    return result
+
+
+def _run_align_tpu(genomes, order, objects, result, candidates, params,
+                   out_filters):
+    """TPU batch path: one device program per length-bucket combination
+    (ops/align_tpu.py). Emits the same measure columns as the exact
+    engines within the accuracy contract pinned by tests/test_align_tpu.py
+    (no per-alignment rows)."""
+    from ..ops import align_tpu
+    logger = get_logger()
+    logger.info(f'Aligning {len(candidates)} genome pairs (TPU engine)')
+    codes_list = [_genome_codes(genomes[order[pos]])
+                  for pos in range(len(order))]
+    pairs = np.asarray(candidates, dtype=np.int32).reshape(-1, 2)
+    agg = align_tpu.all2all_tpu(codes_list, pairs, params)
+    lengths = [o[1] for o in objects]
+    names = [o[0] for o in objects]
+    for k, (i, j) in enumerate(candidates):
+        n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij = agg[k]
+        if n_ji == 0 and n_ij == 0:
+            continue
+        qlen_j, qlen_i = lengths[j], lengths[i]
+        tani = (match_ji + match_ij) / (qlen_i + qlen_j)
+        len_ratio = min(qlen_i, qlen_j) / max(qlen_i, qlen_j)
+        for (q, r, n_a, s_match, s_alnlen, o_alnlen) in (
+                (j, i, n_ji, match_ji, alnlen_ji, alnlen_ij),
+                (i, j, n_ij, match_ij, alnlen_ij, alnlen_ji)):
+            qlen, rlen = lengths[q], lengths[r]
+            row = AniRow(
+                qidx=q, ridx=r, query=names[q], reference=names[r],
+                tani=tani,
+                gani=s_match / qlen,
+                ani=s_match / s_alnlen if s_alnlen else 0.0,
+                qcov=s_alnlen / qlen,
+                rcov=o_alnlen / rlen,
+                num_alns=int(n_a), len_ratio=len_ratio,
+                qlen=qlen, rlen=rlen,
+                nt_match=int(s_match),
+                nt_mismatch=int(s_alnlen - s_match))
+            if _passes_out_filters(row, out_filters):
+                result.rows.append(row)
     return result
 
 

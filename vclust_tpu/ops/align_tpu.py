@@ -2,42 +2,41 @@
 
 A from-scratch, massively parallel reformulation of the LZ-ANI alignment
 stage (reference contract vclust.py:1058-1181; measure semantics
-SURVEY.md section 2.5.3) designed for the TPU's vector units rather than a
-translation of the sequential greedy parse. Everything on the hot path is
-elementwise / cumulative-scan / gather — no scatters, no per-pair sorts,
-no data-dependent shapes:
+SURVEY.md section 2.5.3), designed for the TPU's vector units rather than
+a translation of the sequential greedy parse. The per-pair work is a fixed
+dataflow of gathers, sorts and scans over static shapes — no data-dependent
+control flow, so XLA compiles one program per length-bucket combination and
+thousands of directed pairs run per dispatch:
 
-  1. **Per-genome index (once, not per pair)**: k-mer value arrays and, per
-     strand, position lists sorted by k-mer value. Reused across every pair
-     the genome participates in.
-  2. **Seed join**: each query k-mer locates its reference occurrences with
-     a vectorized ``searchsorted`` into the presorted index (capped at
-     B_CAND).
-  3. **Anchor rail**: positions whose k-mer occurs exactly once in the
-     reference are anchors; an anchor is *confirmed* when a same-strand
-     anchor nearby sits on a consistent diagonal. Confirmed anchors are
-     forward/backward-filled into a per-position target diagonal + strand —
-     the vectorized counterpart of the greedy parse's continuation window.
-  4. **Candidate pick**: each position keeps the candidate nearest its
-     target diagonal (within a tolerance), which resolves repeats and
-     duplications the way longest-extension + seed-window linking does.
-  5. **Raster**: chosen (strand, diagonal) propagates to unseeded positions
-     within `mqd` reach; one gather evaluates per-position base matches on
-     the local diagonal (the counterpart of exact/approx extension and gap
-     accounting).
-  6. **Regions**: covered spans split at strand changes and diagonal jumps
-     > mrd; per-region span/match aggregates come from segmented-scan
-     identities over cumsum/cummax (region ends read running sums against
-     forward-filled values at region starts) — no segment_sum scatters.
+  1. **Per-genome device index (once, not per pair)**: seed-k-mer value per
+     position, plus per-strand (value-sorted values, positions) arrays for
+     the reference role. Reused across every pair the genome joins.
+  2. **Seed votes**: every STRIDE-th query position looks up its seed k-mer
+     in the reference's sorted array (vectorized searchsorted + bounded
+     take) and emits up to CANDS candidate diagonals per strand.
+  3. **Block diagonal clustering**: votes are grouped into query blocks of
+     BLOCK positions; per block, the densest diagonal cluster (votes within
+     GAP_DIAG of each other, found by a sort + windowed rank count) elects
+     the block's (strand, diagonal). This is the vectorized counterpart of
+     the greedy parse's anchor selection + seed-window linking.
+  4. **Match evaluation**: every position compares its query base against
+     the reference base on its block's diagonal; where consecutive blocks
+     elect different diagonals, the optimal single switch point inside the
+     block is found by a prefix-sum argmax (the vectorized counterpart of
+     factor linking around an indel).
+  5. **Region segmentation**: matches are cut into regions at query gaps
+     > mqd and at block-level diagonal jumps > mrd / strand changes (the
+     factor-linking limits); regions are trimmed to their outermost matches
+     and dropped when shorter than `reg`. Aggregates (n_alns, sum_match,
+     sum_alnlen) come from cumulative-scan identities, no scatters.
 
-Semantics vs the exact engines (`native`/`py`, bit-identical to each
-other): same region structure and match counts up to boundary effects of
-approximate extension (no `aw`/`am` windowed overshoot past the outermost
-seeds; `ar`-run trimming approximated by trimming to outermost matched
-positions). Accuracy is pinned by tests/test_align_tpu.py against the
-reference's own accuracy contract (tANI within ±0.007 of simulated ground
-truth, reference test.py:456-477). Use `tpu` for throughput at scale; use
-`native` for golden-parity output (per-alignment rows, exact boundaries).
+Semantics vs the exact engines (`native`/`py`, which are bit-identical to
+each other): same measures up to block-granularity approximations of
+anchor choice and approximate-extension boundaries. Accuracy is pinned by
+tests/test_align_tpu.py: tANI within the reference's own accuracy contract
+(±0.007 of simulated ground truth, reference test.py:456-477) and within a
+small tolerance of the exact engine on every golden pair. Use `tpu` for
+throughput at scale; use `native` for golden-parity per-alignment output.
 """
 
 from functools import partial
@@ -48,14 +47,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lz_parse_py import AlignParams
+from ..utils.jaxcache import enable_compilation_cache
 
-B_CAND = 8          # candidate reference positions kept per query position
-ANCH_REACH = 256    # max distance between mutually confirming anchors
-ANCH_DIAG = 64      # max diagonal drift between confirming anchors
-SEL_DIAG = 40       # candidate acceptance: |diag - target| <= SEL_DIAG
-LEN_QUANT = 16384   # padded-length bucket quantum
-BATCH = 32          # directed pairs per device program invocation
+enable_compilation_cache()
+
+SEED_K = 9          # seed length for diagonal votes (TPU path)
+STRIDE = 2          # query positions between consecutive seed lookups
+CANDS = 4           # candidate reference positions kept per seed
+BLOCK = 128         # coarse block width = diagonal election granularity
+FINE = 32           # fine block width (rearrangement-boundary resolution)
+GAP_DIAG = 16       # max diagonal spread within one vote cluster
+SMAX = 15           # cluster-count saturation (ranking needs no more)
+MIN_VOTES = 3       # votes needed for a block to elect a diagonal
+MSL = 7             # consecutive matches forming a seed run (chains)
+MAL = 11            # consecutive matches able to OPEN a region
+AW = 15             # max distance from a seed run for a match to chain
+BATCH = 16          # directed pairs per vmapped chunk
 BIG = np.int32(2 ** 30)
+
+_BUCKETS = sorted({4096 << i for i in range(8)}
+                  | {6144 << i for i in range(8)})
+
+
+def _pad_bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 131072) * 131072
 
 
 def kmer_vals(codes: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -74,175 +92,234 @@ def kmer_vals(codes: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _ffill_idx(flag: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
-    """Index of the most recent True at or before each position (-BIG if
+    """Index of the most recent True at or before each position (-1 if
     none)."""
-    return jax.lax.cummax(jnp.where(flag, iota, -BIG))
-
-
-def _bfill_idx(flag: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
-    """Index of the nearest True at or after each position (BIG if none)."""
-    return -jax.lax.cummax(jnp.where(flag, -iota, -BIG), reverse=True)
+    return jax.lax.cummax(jnp.where(flag, iota, -1))
 
 
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
-def _strand_candidates(qv, sv, spos, iota):
-    """Seed join for one strand: per-position candidate diagonals.
-
-    Returns (diag[L,B], valid[L,B], cnt[L], uniq_diag[L])."""
-    lo = jnp.searchsorted(sv, qv, side='left')
-    hi = jnp.searchsorted(sv, qv, side='right')
-    cnt = jnp.where(qv >= 0, hi - lo, 0)
-    take = lo[:, None] + jnp.arange(B_CAND)[None, :]
-    valid = (take < hi[:, None]) & (cnt > 0)[:, None]
-    rpos = spos[jnp.clip(take, 0, spos.shape[0] - 1)]
-    diag = jnp.where(valid, rpos - iota[:, None], BIG)
-    uniq_diag = jnp.where(cnt == 1, diag[:, 0], BIG)
-    return diag, valid, cnt, uniq_diag
-
-
-def _confirmed_anchors(uniq_diag, iota):
-    """Anchors (unique-k-mer seeds) confirmed by a nearby same-strand
-    anchor on a consistent diagonal."""
-    uniq = uniq_diag < BIG
-    d = jnp.where(uniq, uniq_diag, 0)
-    p_idx = _shift_right(_ffill_idx(uniq, iota), -BIG)
-    n_idx = jnp.flip(_shift_right(jnp.flip(
-        _ffill_idx(jnp.flip(uniq), iota), 0), -BIG), 0)
-    n_idx = jnp.where(n_idx > -BIG, iota[-1] - n_idx, BIG)
-    p_ok = p_idx > -BIG
-    n_ok = n_idx < BIG
-    p_d = d[jnp.clip(p_idx, 0, None)]
-    n_d = d[jnp.clip(n_idx, None, iota.shape[0] - 1)]
-    conf_p = p_ok & (iota - p_idx <= ANCH_REACH) & \
-        (jnp.abs(uniq_diag - p_d) <= ANCH_DIAG)
-    conf_n = n_ok & (n_idx - iota <= ANCH_REACH) & \
-        (jnp.abs(uniq_diag - n_d) <= ANCH_DIAG)
-    return uniq & (conf_p | conf_n)
-
-
-@partial(jax.jit, static_argnames=('k', 'mqd', 'mrd', 'reg'))
-def _pair_direction(q, qv, qlen, r_fwd, r_rc,
-                    sv_f, spos_f, sv_r, spos_r, rlen,
-                    *, k, mqd, mrd, reg):
+def _pair_core(q_fwd, qv, qlen, r_fwd, r_rc,
+               sv_f, spos_f, sv_r, spos_r, rlen,
+               *, Lq, Lr, mqd, mrd, reg, debug=False):
     """Aggregates (n_alns, sum_match, sum_alnlen) for one directed pair."""
-    Lq = q.shape[0]
-    Lr = r_fwd.shape[0]
+    Ls = Lq // STRIDE
+    DSPAN = Lq + Lr + 64
     iota = jnp.arange(Lq, dtype=jnp.int32)
 
-    diag_f, val_f, _cf, ud_f = _strand_candidates(qv, sv_f, spos_f, iota)
-    diag_r, val_r, _cr, ud_r = _strand_candidates(qv, sv_r, spos_r, iota)
-    anch_f = _confirmed_anchors(ud_f, iota)
-    anch_r = _confirmed_anchors(ud_r, iota)
+    # --- 1. seed votes via sort-merge join -------------------------------
+    # Binary search (searchsorted) is an iterated gather and runs ~100x
+    # slower than a sort on TPU, so query seeds are joined to the
+    # reference's presorted seed array by a merge: sort the concatenation
+    # (reference entries before query entries on equal values), read off
+    # each query entry's reference rank with a cumulative sum, and gather
+    # the top CANDS candidate positions directly from the presorted
+    # reference arrays.
+    qpos_s = jnp.arange(Ls, dtype=jnp.int32) * STRIDE
+    qs = qv[::STRIDE]
+    qs_ok = (qs >= 0) & (qpos_s < qlen)
+    qs_key = jnp.where(qs_ok, qs, -2)   # -2 matches nothing
 
-    # Target rail: nearest confirmed anchor (either side, either strand)
-    # gives each position its expected (strand, diagonal).
-    anch = anch_f | anch_r
-    a_s = anch_r & ~anch_f   # prefer forward on the (rare) double hit
-    a_d = jnp.where(a_s, ud_r, ud_f)
-    a_d = jnp.where(anch, a_d, 0)
-    p_idx = _ffill_idx(anch, iota)
-    n_idx = _bfill_idx(anch, iota)
-    use_p = (p_idx > -BIG) & ((n_idx >= BIG) | (iota - p_idx <= n_idx - iota))
-    t_idx = jnp.where(use_p, p_idx, n_idx)
-    has_t = (p_idx > -BIG) | (n_idx < BIG)
-    t_idx_c = jnp.clip(t_idx, 0, Lq - 1)
-    T = a_d[t_idx_c]
-    TS = a_s[t_idx_c]
+    def strand_votes(sv, spos, offset):
+        # Cap sentinel values so doubling cannot overflow int32.
+        keys = jnp.concatenate(
+            [jnp.minimum(sv, BIG // 4) * 2, qs_key * 2 + 1])
+        payload = jnp.concatenate(
+            [jnp.arange(Lr, dtype=jnp.int32),
+             Lr + jnp.arange(Ls, dtype=jnp.int32)])
+        skeys, spayload = jax.lax.sort((keys, payload), num_keys=1)
+        is_q = spayload >= Lr
+        rank = jnp.cumsum((~is_q).astype(jnp.int32))   # refs at or before
+        # Compact query slots back to seed order: one more sort.
+        key2 = jnp.where(is_q, spayload - Lr, BIG)
+        _, rank_q = jax.lax.sort((key2, rank), num_keys=1)
+        rank_q = rank_q[:Ls]
+        cands = []
+        for c in range(CANDS):
+            idx = rank_q - 1 - c
+            okc = idx >= 0
+            idx_c = jnp.clip(idx, 0, Lr - 1)
+            okc &= sv[idx_c] == qs_key
+            rpos = spos[idx_c]
+            okc &= (rpos < rlen) & qs_ok
+            cands.append(jnp.where(okc, rpos - qpos_s + Lq + offset, BIG))
+        return jnp.stack(cands, axis=1)
 
-    # Candidate pick: nearest candidate to the target diagonal, same strand.
-    def pick(diag, valid):
-        dist = jnp.where(valid, jnp.abs(diag - T[:, None]), BIG)
-        j = jnp.argmin(dist, axis=1)
-        dd = jnp.take_along_axis(dist, j[:, None], 1)[:, 0]
-        dg = jnp.take_along_axis(diag, j[:, None], 1)[:, 0]
-        ok = has_t & (dd <= SEL_DIAG)
-        return ok, dg
-    ok_f, dg_f = pick(diag_f, val_f)
-    ok_r, dg_r = pick(diag_r, val_r)
-    hit = jnp.where(TS, ok_r, ok_f)
-    hit_diag = jnp.where(TS, dg_r, dg_f)
-    hit_strand = TS
+    votes = jnp.concatenate(
+        [strand_votes(sv_f, spos_f, 0),
+         strand_votes(sv_r, spos_r, DSPAN)], axis=1)   # (Ls, 2*CANDS)
 
-    # Median-of-3 over consecutive hit diagonals (same strand): one stray
-    # hit on an off diagonal would otherwise split its region twice.
-    hp = _shift_right(_ffill_idx(hit, iota), -BIG)
-    hn = jnp.flip(_shift_right(jnp.flip(
-        _ffill_idx(jnp.flip(hit), iota), 0), -BIG), 0)
-    hn = jnp.where(hn > -BIG, iota[-1] - hn, BIG)
-    dp = hit_diag[jnp.clip(hp, 0, None)]
-    dn = hit_diag[jnp.clip(hn, None, Lq - 1)]
-    neigh_ok = (hp > -BIG) & (hn < BIG) & \
-        (hit_strand[jnp.clip(hp, 0, None)] == hit_strand) & \
-        (hit_strand[jnp.clip(hn, None, Lq - 1)] == hit_strand)
-    med = jnp.maximum(jnp.minimum(jnp.maximum(dp, dn), hit_diag),
-                      jnp.minimum(dp, dn))
-    hit_diag = jnp.where(hit & neigh_ok, med, hit_diag)
+    # --- 2. two-scale block diagonal election ---------------------------
+    # Coarse blocks (BLOCK wide) are robust on sparse votes; fine blocks
+    # (FINE wide) resolve rearrangement boundaries and dense indels; a
+    # fine block without a strong enough cluster inherits its coarse
+    # block's choice.
+    def elect(nb, cstride=1):
+        # Densest-cluster election per block. Counting "votes within
+        # GAP_DIAG above mine" uses static shifted compares on the sorted
+        # row (no binary search); counts saturate at SMAX per counted
+        # element, so the coarse scale counts a cstride-subsample of the
+        # sorted row to keep large clusters distinguishable at the same
+        # cost.
+        vpb = (Lq // nb // STRIDE) * 2 * CANDS
+        sd = jnp.sort(votes.reshape(nb, vpb), axis=1)
+        sds = sd[:, ::cstride]
+        w = sds.shape[1]
+        smax = min(SMAX, w - 1)
+        pad = jnp.full((nb, smax), BIG, jnp.int32)
+        sdp = jnp.concatenate([sds, pad], axis=1)
+        cnt = jnp.ones((nb, w), jnp.int32)
+        for s in range(1, smax + 1):
+            cnt = cnt + (sdp[:, s:w + s] - sds <= GAP_DIAG)
+        cnt = jnp.where(sds < BIG, cnt, 0)
+        j0 = jnp.argmax(cnt, axis=1)
+        vb = jnp.take_along_axis(cnt, j0[:, None], 1)[:, 0]
+        med_idx = jnp.clip(j0 + vb // 2, 0, w - 1)
+        medv = jnp.take_along_axis(sds, med_idx[:, None], 1)[:, 0]
+        strand = medv >= DSPAN
+        diag = jnp.where(strand, medv - DSPAN, medv) - Lq
+        # Exact (unsaturated) vote count of the elected cluster, so
+        # MIN_VOTES thresholds real votes regardless of cstride/SMAX.
+        # A block with no valid votes elects the BIG sentinel; zero it.
+        vb_x = jnp.sum((jnp.abs(sd - medv[:, None]) <= GAP_DIAG)
+                       .astype(jnp.int32), axis=1)
+        vb_x = jnp.where(medv < BIG, vb_x, 0)
+        return vb_x, strand, diag, medv, sd
 
-    # Raster fill: nearest seeded position on each side (a seed at p
-    # supports p..p+k-1 directly; between seeds both sides must be within
-    # mqd reach, the factor-linking gap rule).
-    h_p = _ffill_idx(hit, iota)
-    h_n = _bfill_idx(hit, iota)
-    d_prev = jnp.maximum(iota - h_p - (k - 1), 0)
-    d_next = jnp.maximum(h_n - iota, 0)
-    prev_ok = (h_p > -BIG) & (d_prev <= mqd)
-    next_ok = (h_n < BIG) & (d_next <= mqd)
-    onseed = (h_p > -BIG) & (iota - h_p <= k - 1)
-    covered = ((prev_ok & next_ok) | onseed) & (iota < qlen)
-    use_prev = prev_ok & ((~next_ok) | (d_prev <= d_next))
-    src = jnp.clip(jnp.where(use_prev, h_p, h_n), 0, Lq - 1)
-    D = hit_diag[src]
-    S = hit_strand[src]
+    NBC = Lq // BLOCK
+    NBF = Lq // FINE
+    RATIO = BLOCK // FINE
+    vb_c, S_c, D_c, medv_c, _ = elect(NBC, cstride=4)
+    vb_f, S_f, D_f, _, sd_f = elect(NBF)
+    A_c = vb_c >= MIN_VOTES
+    # Fine override needs to strictly beat the fine-block vote support for
+    # the coarse diagonal; otherwise repeats (which support two clusters
+    # equally) would be resolved against the surrounding context.
+    center = jnp.repeat(medv_c, RATIO)
+    sup_c = jnp.sum(
+        (jnp.abs(sd_f - center[:, None]) <= GAP_DIAG).astype(jnp.int32),
+        axis=1)
+    A_cf = jnp.repeat(A_c, RATIO)
+    use_f = (vb_f >= MIN_VOTES) & (~A_cf | (vb_f > sup_c))
+    A = use_f | A_cf
+    S = jnp.where(use_f, S_f, jnp.repeat(S_c, RATIO))
+    D = jnp.where(use_f, D_f, jnp.repeat(D_c, RATIO))
+    vb = jnp.where(use_f, vb_f, jnp.repeat(vb_c, RATIO))
 
-    # Match raster: q[i] vs r_strand[i + D[i]].
-    rj = iota + D
-    in_r = (rj >= 0) & (rj < rlen)
-    rj_c = jnp.clip(rj, 0, Lr - 1)
-    rbase = jnp.where(S, r_rc[rj_c], r_fwd[rj_c])
-    m = covered & in_r & (q == rbase) & (q < 4)
+    Ap = jnp.concatenate([jnp.zeros(1, jnp.bool_), A[:-1]])
+    Sp = jnp.concatenate([jnp.zeros(1, jnp.bool_), S[:-1]])
+    Dp = jnp.concatenate([jnp.zeros(1, jnp.int32), D[:-1]])
 
-    # Regions: split at cover gaps, strand changes, diagonal jumps > mrd.
-    prev_cov = _shift_right(covered, False)
-    jump = covered & prev_cov & (
-        (jnp.abs(D - _shift_right(D, 0)) > mrd)
-        | (S != _shift_right(S, False)))
-    start = (covered & ~prev_cov) | jump
-    nxt_cov = jnp.concatenate([covered[1:], jnp.zeros(1, jnp.bool_)])
-    nxt_start = jnp.concatenate([start[1:], jnp.zeros(1, jnp.bool_)])
-    end = covered & (nxt_start | ~nxt_cov)
+    # --- 3. per-position match flags with single-switch refinement ------
+    def eval_on(D_b, S_b, ok_b):
+        Dq = jnp.repeat(D_b, FINE)
+        Sq = jnp.repeat(S_b, FINE)
+        okq = jnp.repeat(ok_b, FINE)
+        rj = iota + Dq
+        ok = okq & (rj >= 0) & (rj < rlen) & (iota < qlen)
+        rj_c = jnp.clip(rj, 0, Lr - 1)
+        rb = jnp.where(Sq, r_rc[rj_c], r_fwd[rj_c])
+        return ok & (q_fwd == rb) & (q_fwd < 4)
 
-    # Segmented aggregates via scan identities (labels are monotone, so
-    # forward-filled start values + running sums give per-region totals at
-    # region ends without any scatter).
-    mi = m.astype(jnp.int32)
-    cs = jnp.cumsum(mi)
-    start_idx = _ffill_idx(start, iota)
-    base = jax.lax.cummax(jnp.where(start, cs - mi, -1))
-    lastm = _ffill_idx(m, iota)
-    lastm_before = _shift_right(lastm, -BIG)
-    is_first = m & (lastm_before < start_idx)
-    firstm = _ffill_idx(is_first, iota)
-    matches = cs - base
-    span = lastm - firstm + 1
-    valid = end & (lastm >= start_idx) & (firstm >= start_idx) & \
-        (span >= reg)
-    n_alns = jnp.sum(valid.astype(jnp.int32))
-    sum_match = jnp.sum(jnp.where(valid, matches, 0))
-    sum_alnlen = jnp.sum(jnp.where(valid, span, 0))
+    switchable = A & Ap & ((D != Dp) | (S != Sp))
+    m1 = eval_on(D, S, A)
+    m0 = eval_on(Dp, Sp, switchable)
+    m0b = m0.reshape(NBF, FINE).astype(jnp.int32)
+    m1b = m1.reshape(NBF, FINE).astype(jnp.int32)
+    g = jnp.cumsum(m0b - m1b, axis=1)
+    gpad = jnp.concatenate([jnp.zeros((NBF, 1), jnp.int32), g], axis=1)
+    tstar = jnp.argmax(gpad, axis=1).astype(jnp.int32)     # 0..FINE
+    tstar = jnp.where(switchable, tstar, 0)
+    posb = jnp.arange(FINE, dtype=jnp.int32)[None, :]
+    mb = jnp.where(posb < tstar[:, None], m0b, m1b)
+    m = mb.reshape(Lq).astype(jnp.bool_)
+
+    # --- 4. region breaks ------------------------------------------------
+    # Unlinked adjacent assigned blocks break at the switch point (the
+    # factor-linking limits: same strand, |diagonal jump| <= mrd).
+    linked = A & Ap & (S == Sp) & (jnp.abs(D - Dp) <= mrd)
+    brk_blk = (A & Ap & ~linked
+               & (jnp.arange(NBF, dtype=jnp.int32) > 0))
+    Bb = brk_blk[:, None] & (posb == jnp.minimum(tstar, FINE - 1)[:, None])
+    B = Bb.reshape(Lq).astype(jnp.int32)
+
+    # --- 5. anchored matches ---------------------------------------------
+    # The greedy parse only opens/continues factors at exact seed matches
+    # (>= msl consecutive matching bases); scattered single matches are
+    # credited only when near a factor (gap credit / approx extension).
+    # Raster analog: a match may delimit a segment only when within AW of
+    # a >= MSL consecutive-match run; other matches still count toward
+    # nt_match inside the segment but cannot extend or chain it.
+    last_mm = _ffill_idx(~m, iota)
+    run_end = iota - last_mm                  # run length ending at i
+    rev_mm = jax.lax.cummax(
+        jnp.where(~m, -iota, -BIG), reverse=True)
+    next_mm = jnp.where(rev_mm > -BIG, -rev_mm, Lq)
+    run_fwd = next_mm - iota                  # run length starting at i
+    runlen = run_end + run_fwd - 1
+    in_run = m & (runlen >= MSL)
+    in_anchor = m & (runlen >= MAL)   # long enough to OPEN a region
+    pe = _ffill_idx(in_run, iota)
+    ne_neg = jax.lax.cummax(jnp.where(in_run, -iota, -BIG), reverse=True)
+    ne = jnp.where(ne_neg > -BIG, -ne_neg, Lq + AW + 1)
+    dist = jnp.minimum(jnp.where(pe >= 0, iota - pe, Lq), ne - iota)
+    ma = m & (dist <= AW)
+
+    # --- 6. segmentation + aggregates ------------------------------------
+    pm = _ffill_idx(ma, iota)                # last anchor at or before i
+    pm_excl = _shift_right(pm, jnp.int32(-1))
+    cumB = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(B)])
+    crossed = cumB[iota + 1] - cumB[jnp.clip(pm_excl, -1, Lq - 1) + 1] > 0
+    seg_start = ma & ((pm_excl < 0) | (iota - pm_excl - 1 > mqd) | crossed)
+
+    # Next segment start strictly after i (Lq if none): smallest index >= i
+    # with seg_start, via a reversed cummax over negated indices.
+    neg = jax.lax.cummax(jnp.where(seg_start, -iota, -BIG), reverse=True)
+    nx = jnp.where(neg > -BIG, -neg, Lq)
+    ns_after = jnp.concatenate([nx[1:], jnp.full((1,), Lq, jnp.int32)])
+
+    cs = jnp.cumsum(m.astype(jnp.int32))
+    e_i = pm[jnp.clip(ns_after - 1, 0, Lq - 1)]   # last match of my segment
+    span = e_i - iota + 1
+    matches = cs[jnp.clip(e_i, 0, Lq - 1)] - cs[iota] + 1
+    # A region must contain an opening anchor (>= MAL-run), mirroring the
+    # greedy parse's mal-length region-opening requirement.
+    c11 = jnp.cumsum(in_anchor.astype(jnp.int32))
+    has_anchor = (c11[jnp.clip(e_i, 0, Lq - 1)] - c11[iota]
+                  + in_anchor[iota].astype(jnp.int32)) > 0
+    acc = seg_start & (span >= reg) & has_anchor
+    n_alns = jnp.sum(acc.astype(jnp.int32))
+    sum_match = jnp.sum(jnp.where(acc, matches, 0))
+    sum_alnlen = jnp.sum(jnp.where(acc, span, 0))
+    if debug:
+        s_i = _ffill_idx(seg_start, iota)
+        s_c = jnp.clip(s_i, 0, Lq - 1)
+        acc_cov = (s_i >= 0) & acc[s_c] & (iota <= e_i[s_c])
+        return dict(m=m, acc_cov=acc_cov, D=D, S=S, A=A, vb=vb,
+                    seg_start=seg_start, tstar=tstar,
+                    n_alns=n_alns, sum_match=sum_match,
+                    sum_alnlen=sum_alnlen)
     return n_alns, sum_match, sum_alnlen
 
 
-@partial(jax.jit, static_argnames=('k', 'mqd', 'mrd', 'reg'))
+_pair_direction = jax.jit(_pair_core, static_argnames=(
+    'Lq', 'Lr', 'mqd', 'mrd', 'reg', 'debug'))
+
+
+def _pair_direction_debug(*args, **kwargs):
+    return _pair_direction(*args, **kwargs, debug=True)
+
+
+@partial(jax.jit, static_argnames=('Lq', 'Lr', 'mqd', 'mrd', 'reg'))
 def _group_run(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
                br_sv_r, br_spos_r, q_rows, r_rows, qlens, rlens,
-               *, k, mqd, mrd, reg):
+               *, Lq, Lr, mqd, mrd, reg):
     """Run all chunks of one (q-bucket, r-bucket) task group in a single
     device program: lax.map over chunks, vmap over the tasks of a chunk.
     Rows/lens are (n_chunks, BATCH); returns (n_chunks, BATCH, 3)."""
-    pair = partial(_pair_direction, k=k, mqd=mqd, mrd=mrd, reg=reg)
+    pair = partial(_pair_direction, Lq=Lq, Lr=Lr, mqd=mqd, mrd=mrd, reg=reg)
 
     def chunk(args):
         qr, rr, ql, rl = args
@@ -254,15 +331,27 @@ def _group_run(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
     return jax.lax.map(chunk, (q_rows, r_rows, qlens, rlens))
 
 
-def _pad_bucket(n: int) -> int:
-    return max(LEN_QUANT, -(-n // LEN_QUANT) * LEN_QUANT)
+@partial(jax.jit, static_argnames=('k',))
+def _index_block(fwd, rc, k: int):
+    kv = jax.vmap(partial(kmer_vals, k=k))
+    qv = kv(fwd)
+    vr = kv(rc)
+    vf_s = jnp.where(qv < 0, BIG, qv)
+    vr_s = jnp.where(vr < 0, BIG, vr)
+    order_f = jnp.argsort(vf_s, axis=1).astype(jnp.int32)
+    order_r = jnp.argsort(vr_s, axis=1).astype(jnp.int32)
+    return (qv,
+            jnp.take_along_axis(vf_s, order_f, 1), order_f,
+            jnp.take_along_axis(vr_s, order_r, 1), order_r)
 
 
 class GenomeIndexTPU:
-    """Device-resident per-bucket genome arena: padded codes (both strands),
-    k-mer values, and per-strand k-mer-sorted position lists."""
+    """Device-resident per-bucket genome arena: padded codes (both
+    strands), per-position seed k-mer values, and per-strand value-sorted
+    (values, positions) arrays. Built once; reused across all pairs."""
 
-    def __init__(self, codes_list: Sequence[np.ndarray], k: int):
+    def __init__(self, codes_list: Sequence[np.ndarray], k: int = SEED_K,
+                 rows_chunk: int = 512):
         from ..core.seq import revcomp_codes
         self.k = k
         self.lens = np.array([len(c) for c in codes_list], dtype=np.int32)
@@ -281,18 +370,16 @@ class GenomeIndexTPU:
                 self.row[i] = row
             fwd_d = jnp.asarray(fwd)
             rc_d = jnp.asarray(rc)
-            kv = jax.jit(jax.vmap(partial(kmer_vals, k=k)))
-            qv_f = kv(fwd_d)
-            qv_r = kv(rc_d)
-            order_f = jnp.argsort(qv_f, axis=1)
-            order_r = jnp.argsort(qv_r, axis=1)
+            parts = []
+            for lo in range(0, G, rows_chunk):
+                parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
+                                          rc_d[lo:lo + rows_chunk], k))
+            qv, sv_f, spos_f, sv_r, spos_r = (
+                jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+                for xs in zip(*parts))
             self.bucket[Lp] = dict(
-                fwd=fwd_d, rc=rc_d, qv=qv_f,
-                sv_f=jnp.take_along_axis(qv_f, order_f, 1),
-                spos_f=order_f.astype(jnp.int32),
-                sv_r=jnp.take_along_axis(qv_r, order_r, 1),
-                spos_r=order_r.astype(jnp.int32),
-            )
+                fwd=fwd_d, rc=rc_d, qv=qv, sv_f=sv_f, spos_f=spos_f,
+                sv_r=sv_r, spos_r=spos_r)
 
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
@@ -303,12 +390,12 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
     as lz_native.all2all_native's aggregate output."""
     params = params or AlignParams()
-    k, mqd, mrd, reg = params.mal, params.mqd, params.mrd, params.reg
-    idx = index or GenomeIndexTPU(codes_list, k)
+    mqd, mrd, reg = params.mqd, params.mrd, params.reg
+    idx = index or GenomeIndexTPU(codes_list)
     lens = idx.lens
 
     # Directed tasks (qidx, ridx, pair_row, out_col), grouped by bucket
-    # shape so each group runs one compiled program.
+    # combination so each group runs one compiled program.
     groups: Dict[Tuple[int, int], List] = {}
     for row, (i, j) in enumerate(pairs):
         i, j = int(i), int(j)
@@ -341,7 +428,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             jnp.asarray(r_rows.reshape(shape)),
             jnp.asarray(qlens.reshape(shape)),
             jnp.asarray(rlens.reshape(shape)),
-            k=k, mqd=mqd, mrd=mrd, reg=reg)
+            Lq=kq, Lr=kr, mqd=mqd, mrd=mrd, reg=reg)
         pending.append((res, ts))
     for res, ts in pending:   # one transfer per group, post-dispatch
         flat = np.asarray(res).reshape(-1, 3)

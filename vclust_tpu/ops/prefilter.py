@@ -20,6 +20,8 @@ import numpy as np
 try:
     import jax
     import jax.numpy as jnp
+    from ..utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     _HAVE_JAX = True
 except Exception:  # pragma: no cover
     _HAVE_JAX = False

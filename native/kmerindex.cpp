@@ -61,10 +61,11 @@ struct Key128Hash {
     }
 };
 
-struct GroupRef {           // candidate pattern occurrence inside a bucket
+struct GroupRef {           // locally-distinct pattern inside a bucket
     int64_t start;          // offset into the bucket's sorted entries
     int32_t len;
     uint64_t h1, h2;
+    int64_t weight;         // in-bucket multiplicity
 };
 
 struct Handle {
@@ -125,7 +126,12 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
         return h;
     }
 
-    // ---- 1. stable partition by top PART_BITS bits ----
+    // ---- 1. stable partition by the top PART_BITS *occupied* bits ----
+    // K-mer values are 2k-bit packed integers (e.g. 50 bits for k=25), so
+    // partitioning by the top bits of the full 64-bit word would leave
+    // nearly every entry in a handful of buckets and collapse the sort
+    // parallelism; the shift adapts to the data's actual bit width (the
+    // per-genome arrays are sorted, so the global max is O(n_genomes)).
     // Thread t owns a contiguous genome range; per-(bucket, thread) offsets
     // keep entries within a bucket ordered by genome then position.
     std::vector<int64_t> g_start(n_genomes + 1, 0);
@@ -139,7 +145,13 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
         while (g < n_genomes && g_start[g + 1] < target) ++g;
         t_lo[t] = g;
     }
-    const int shift = 64 - PART_BITS;
+    uint64_t kmax = 0;
+    for (int32_t g = 0; g < n_genomes; ++g)
+        if (set_lens[g] > 0 && kmer_ptrs[g][set_lens[g] - 1] > kmax)
+            kmax = kmer_ptrs[g][set_lens[g] - 1];
+    int kbits = 1;
+    while (kbits < 64 && (kmax >> kbits) != 0) ++kbits;
+    const int shift = kbits > PART_BITS ? kbits - PART_BITS : 0;
     std::vector<int64_t> hist(static_cast<int64_t>(N_BUCKETS) * n_threads, 0);
     auto count_fn = [&](int t) {
         int64_t* hh = hist.data() + static_cast<int64_t>(t) * N_BUCKETS;
@@ -195,12 +207,19 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
         for (auto& th : ths) th.join();
     }
 
-    // ---- 2+3. per-bucket radix sort + group scan (parallel) ----
+    // ---- 2+3. per-bucket radix sort + group scan + LOCAL dedup ----
+    // Each bucket deduplicates its own patterns into a local table while
+    // sorted entries are cache-hot; the serial global merge then only sees
+    // per-bucket *distinct* patterns (orders of magnitude fewer at real
+    // dedup ratios). First-occurrence order inside buckets + bucket order
+    // keep the output independent of thread count.
     const int low_bytes = (shift + 7) / 8;
     std::vector<std::vector<GroupRef>> bucket_groups(N_BUCKETS);
+    std::vector<int64_t> bucket_ngroups(N_BUCKETS, 0);
     std::atomic<int> next_bucket{0};
     auto sort_fn = [&]() {
         std::vector<Entry> tmp;
+        std::unordered_map<Key128, int64_t, Key128Hash> local;
         for (;;) {
             int b = next_bucket.fetch_add(1);
             if (b >= N_BUCKETS) break;
@@ -209,13 +228,16 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
             if (n <= 0) continue;
             if (static_cast<int64_t>(tmp.size()) < n) tmp.resize(n);
             radix_sort_bucket(arena.data() + lo, n, tmp.data(), low_bytes);
-            // group scan
+            // group scan with in-bucket dedup
+            local.clear();
             auto& out = bucket_groups[b];
             int64_t s = lo;
+            int64_t ngroups = 0;
             for (int64_t i = lo + 1; i <= hi; ++i) {
                 if (i == hi || arena[i].k != arena[s].k) {
                     int64_t len = i - s;
                     if (len >= 2) {
+                        ++ngroups;
                         uint64_t h1 = 0, h2 = 0;
                         for (int64_t j = 0; j < len; ++j) {
                             uint64_t gv =
@@ -226,12 +248,21 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
                             h2 += mix64(gv ^ ((pos + 7) *
                                         0xC2B2AE3D27D4EB4FULL));
                         }
-                        out.push_back(GroupRef{s, static_cast<int32_t>(len),
-                                               h1, h2});
+                        Key128 key{h1 ^ static_cast<uint64_t>(len), h2};
+                        auto it = local.find(key);
+                        if (it == local.end()) {
+                            local.emplace(
+                                key, static_cast<int64_t>(out.size()));
+                            out.push_back(GroupRef{
+                                s, static_cast<int32_t>(len), h1, h2, 1});
+                        } else {
+                            ++out[it->second].weight;
+                        }
                     }
                     s = i;
                 }
             }
+            bucket_ngroups[b] = ngroups;
         }
     };
     {
@@ -241,23 +272,23 @@ void* kidx_build(const uint64_t** kmer_ptrs, const int64_t* set_lens,
         for (auto& th : ths) th.join();
     }
 
-    // ---- 4. serial bucket-order dedup (deterministic) ----
+    // ---- 4. serial bucket-order global merge (deterministic) ----
     std::unordered_map<Key128, int64_t, Key128Hash> pat;
     int64_t n_groups = 0;
     for (int b = 0; b < N_BUCKETS; ++b) {
+        n_groups += bucket_ngroups[b];
         for (const GroupRef& gr : bucket_groups[b]) {
-            ++n_groups;
             Key128 key{gr.h1 ^ static_cast<uint64_t>(gr.len), gr.h2};
             auto it = pat.find(key);
             if (it == pat.end()) {
                 pat.emplace(key, static_cast<int64_t>(h->lens.size()));
                 h->lens.push_back(gr.len);
-                h->weights.push_back(1);
+                h->weights.push_back(gr.weight);
                 const Entry* e = arena.data() + gr.start;
                 for (int32_t j = 0; j < gr.len; ++j)
                     h->gids.push_back(e[j].g);
             } else {
-                ++h->weights[it->second];
+                h->weights[it->second] += gr.weight;
             }
         }
     }

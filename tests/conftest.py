@@ -12,8 +12,20 @@ REFERENCE_EXAMPLE = pathlib.Path('/root/reference/example')
 # Tests run JAX on CPU with a virtual 8-device mesh so sharding paths are
 # exercised without TPU hardware (SURVEY.md section 7; driver validates the
 # real multi-chip path separately via __graft_entry__.dryrun_multichip).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+# Forced (not setdefault): the CI/driver environment pre-sets
+# JAX_PLATFORMS to the TPU plugin via a sitecustomize hook that wins over
+# the env var, so the platform is pinned through jax.config after import.
+# Opt back into the real device with VCLUST_TEST_TPU=1.
+if not os.environ.get('VCLUST_TEST_TPU'):
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=8')
+    try:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    except ImportError:
+        pass
 
 VCLUST = REPO / 'vclust.py'
 

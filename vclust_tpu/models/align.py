@@ -207,12 +207,15 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
     engines within the accuracy contract pinned by tests/test_align_tpu.py
     (no per-alignment rows)."""
     from ..ops import align_tpu
+    from ..parallel.mesh import auto_mesh
     logger = get_logger()
-    logger.info(f'Aligning {len(candidates)} genome pairs (TPU engine)')
+    mesh = auto_mesh()
+    logger.info(f'Aligning {len(candidates)} genome pairs (TPU engine'
+                + (f', {mesh.devices.size}-device mesh)' if mesh else ')'))
     codes_list = [_genome_codes(genomes[order[pos]])
                   for pos in range(len(order))]
     pairs = np.asarray(candidates, dtype=np.int32).reshape(-1, 2)
-    agg = align_tpu.all2all_tpu(codes_list, pairs, params)
+    agg = align_tpu.all2all_tpu(codes_list, pairs, params, mesh=mesh)
     lengths = [o[1] for o in objects]
     names = [o[0] for o in objects]
     for k, (i, j) in enumerate(candidates):

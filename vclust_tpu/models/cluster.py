@@ -92,12 +92,28 @@ def build_edges(header: Sequence[str], rows, params: ClusterParams,
     return pairs, weights
 
 
-def _adjacency(n: int, edges: np.ndarray, weights: np.ndarray):
-    adj: List[Dict[int, float]] = [dict() for _ in range(n)]
-    for (a, b), w in zip(edges, weights):
-        adj[a][b] = w
-        adj[b][a] = w
-    return adj
+class _CSR:
+    """Symmetric CSR adjacency (neighbor lists sorted ascending)."""
+
+    def __init__(self, n: int, edges: np.ndarray, weights: np.ndarray):
+        self.n = n
+        if len(edges) == 0:
+            self.indptr = np.zeros(n + 1, dtype=np.int64)
+            self.dst = np.empty(0, dtype=np.int64)
+            self.w = np.empty(0, dtype=np.float64)
+            return
+        src = np.concatenate([edges[:, 0], edges[:, 1]])
+        dst = np.concatenate([edges[:, 1], edges[:, 0]])
+        w = np.concatenate([weights, weights])
+        order = np.lexsort((dst, src))
+        src, self.dst, self.w = src[order], dst[order], w[order]
+        counts = np.bincount(src, minlength=n)
+        self.indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.indptr[1:])
+
+    def row(self, i: int):
+        lo, hi = self.indptr[i], self.indptr[i + 1]
+        return self.dst[lo:hi], self.w[lo:hi]
 
 
 # ---------------------------------------------------------------------------
@@ -132,75 +148,94 @@ def _single(n, edges, weights, adj, params):
 
 
 def _complete(n, edges, weights, adj, params):
-    # Greedy longest-first: an object joins the first existing cluster it is
-    # connected to every member of; otherwise it founds a new cluster.
-    clusters: List[List[int]] = []
-    labels = [0] * n
+    # Greedy longest-first: an object joins the first existing cluster
+    # (creation order) it is connected to every member of; otherwise it
+    # founds a new one. Per-object cost O(deg log deg): count neighbor
+    # labels among already-placed neighbors and compare against cluster
+    # sizes — no pairwise membership rescans.
+    labels = np.full(n, -1, dtype=np.int64)
+    csize = np.zeros(n, dtype=np.int64)
+    n_clusters = 0
     for i in range(n):
-        placed = False
-        for ci, members in enumerate(clusters):
-            if all(i in adj[m] for m in members):
-                members.append(i)
-                labels[i] = ci
-                placed = True
-                break
-        if not placed:
-            labels[i] = len(clusters)
-            clusters.append([i])
-    return labels
+        nb, _ = adj.row(i)
+        nb = nb[nb < i]
+        placed = -1
+        if len(nb):
+            lc, cnt = np.unique(labels[nb], return_counts=True)
+            full = lc[cnt == csize[lc]]
+            if len(full):
+                placed = int(full[0])   # smallest id = creation order
+        if placed < 0:
+            placed = n_clusters
+            n_clusters += 1
+        labels[i] = placed
+        csize[placed] += 1
+    return labels.tolist()
 
 
 def _uclust(n, edges, weights, adj, params):
-    # Longest-first greedy: assign to the best-scoring centroid, else found.
-    centroids: List[int] = []
-    labels = [0] * n
+    # Longest-first greedy: assign to the best-scoring centroid (ties ->
+    # earliest-founded = smallest index), else found a new centroid.
+    is_centroid = np.zeros(n, dtype=bool)
+    labels = np.zeros(n, dtype=np.int64)
     for i in range(n):
-        best = None
-        for c in centroids:
-            w = adj[i].get(c)
-            if w is not None and (best is None or w > best[0]):
-                best = (w, c)
-        if best is not None:
-            labels[i] = best[1]
+        nb, w = adj.row(i)
+        sel = is_centroid[nb] & (nb < i)
+        if sel.any():
+            wc, nc = w[sel], nb[sel]
+            best = wc.max()
+            labels[i] = nc[wc == best][0]
         else:
             labels[i] = i
-            centroids.append(i)
-    return labels
+            is_centroid[i] = True
+    return labels.tolist()
 
 
 def _cdhit(n, edges, weights, adj, params):
-    # Longest-first greedy: assign to the first centroid that passes.
-    centroids: List[int] = []
-    labels = [0] * n
+    # Longest-first greedy: assign to the earliest-founded centroid
+    # neighbor (= smallest index, neighbor lists are sorted).
+    is_centroid = np.zeros(n, dtype=bool)
+    labels = np.zeros(n, dtype=np.int64)
     for i in range(n):
-        for c in centroids:
-            if c in adj[i]:
-                labels[i] = c
-                break
+        nb, _ = adj.row(i)
+        sel = is_centroid[nb] & (nb < i)
+        if sel.any():
+            labels[i] = nb[sel][0]
         else:
             labels[i] = i
-            centroids.append(i)
-    return labels
+            is_centroid[i] = True
+    return labels.tolist()
 
 
 def _set_cover(n, edges, weights, adj, params):
     # MMseqs2-style: repeatedly pick the node covering the most uncovered
-    # neighbors (ties -> smallest index); it founds a cluster of itself plus
-    # its uncovered neighbors.
-    labels = [-1] * n
-    uncovered = set(range(n))
-    while uncovered:
-        best_node, best_gain = -1, -1
-        for i in sorted(uncovered):
-            gain = sum(1 for j in adj[i] if j in uncovered)
-            if gain > best_gain:
-                best_node, best_gain = i, gain
-        members = [best_node] + sorted(
-            j for j in adj[best_node] if j in uncovered and j != best_node)
-        for m in members:
-            labels[m] = best_node
-            uncovered.discard(m)
-    return labels
+    # neighbors (ties -> smallest index); it founds a cluster of itself
+    # plus its uncovered neighbors. Lazy max-heap: gains only decrease, so
+    # a popped entry matching its recomputed gain is globally maximal —
+    # O(E log V) instead of rescanning all uncovered nodes per pick.
+    import heapq
+    labels = np.full(n, -1, dtype=np.int64)
+    covered = np.zeros(n, dtype=bool)
+    degs = np.diff(adj.indptr)
+    heap = [(-int(degs[i]), i) for i in range(n)]
+    heapq.heapify(heap)
+    n_covered = 0
+    while n_covered < n:
+        neg_gain, i = heapq.heappop(heap)
+        if covered[i]:
+            continue   # only uncovered nodes found clusters
+        nb, _ = adj.row(i)
+        gain = int(np.count_nonzero(~covered[nb]))
+        if -neg_gain != gain:
+            heapq.heappush(heap, (-gain, i))
+            continue
+        members = nb[~covered[nb]]
+        labels[i] = i
+        labels[members] = i
+        covered[i] = True
+        covered[members] = True
+        n_covered += 1 + len(members)
+    return labels.tolist()
 
 
 def _leiden(n, edges, weights, adj, params):
@@ -250,7 +285,7 @@ def run_cluster(
     representative names with out_representatives)."""
     n = len(objects)
     edges, weights = build_edges(header, rows, params, n)
-    adj = _adjacency(n, edges, weights)
+    adj = _CSR(n, edges, weights)
     raw = _ALGOS[params.algorithm](n, edges, weights, adj, params)
     ids = _renumber(raw)
     if not params.out_representatives:

@@ -22,8 +22,7 @@ import numpy as np
 from ..core.kmers import canonical_kmer_set
 from ..core.seq import encode
 from ..io.formats import FilterMatrix
-from ..ops.prefilter import (ani_shorter, shared_kmer_counts,
-                             shared_kmer_counts_panels)
+from ..ops.prefilter import ani_shorter, shared_kmer_counts
 from ..utils.logging import get_logger
 from .input import Genome
 
@@ -62,6 +61,46 @@ def _block_entries(block, sim, lo, hi, min_kmers, min_ident):
     return rows_local + lo, cols, sim[rows_local, cols]
 
 
+def _batched_entries(genomes, kmer_sets, sizes, k, bsz, min_kmers,
+                     min_ident):
+    """Out-of-core blockwise counting through the persisted batch store
+    (the kmer-db `--batch-size`/`all2all-parts` analog, reference
+    vclust.py:1404-1462): per-batch artifacts on disk, one (batch_i,
+    batch_j) counts block in RAM at a time, each block O(nnz_i + nnz_j).
+
+    kmer_sets entries are released batch-by-batch as they are persisted,
+    so peak host RAM is O(two batches), not O(corpus).
+    """
+    import tempfile
+    from ..ops.prefilter import BatchIndexStore, ani_shorter as _ani
+    n = len(kmer_sets)
+    with tempfile.TemporaryDirectory(prefix='vclust_kdb_') as tmp:
+        store = BatchIndexStore(tmp)
+        for lo in range(0, n, bsz):
+            store.add_batch(kmer_sets[lo:lo + bsz], lo)
+            kmer_sets[lo:lo + bsz] = [None] * min(bsz, n - lo)
+        nb = len(store.batches)
+        for i in range(nb):
+            off_i, n_i = store.batches[i]
+            for j in range(i, nb):
+                off_j, n_j = store.batches[j]
+                ro, co, block = store.pair_block(i, j)
+                col_sizes = sizes[co:co + block.shape[1]]
+                row_sizes = sizes[ro:ro + block.shape[0]]
+                sim = _ani(block, col_sizes, k, row_sizes=row_sizes)
+                if i == j:
+                    rl, cl = np.nonzero(
+                        (block >= min_kmers) & (sim >= min_ident)
+                        & (np.arange(block.shape[1])[None, :]
+                           < np.arange(block.shape[0])[:, None]))
+                    yield rl + ro, cl + co, sim[rl, cl]
+                else:
+                    rl, cl = np.nonzero(
+                        (block >= min_kmers) & (sim >= min_ident))
+                    # global pair = (larger id, smaller id)
+                    yield cl + co, rl + ro, sim[rl, cl]
+
+
 def run_prefilter(
     genomes: List[Genome],
     k: int = 25,
@@ -81,20 +120,25 @@ def run_prefilter(
     sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
     logger.info('Counting shared k-mers (occupancy matmul)')
 
-    use_panels = (backend != 'host'
-                  and (batch_size > 0 or n > _AUTO_PANEL_THRESHOLD))
+    use_batches = (backend != 'host'
+                   and (batch_size > 0 or n > _AUTO_PANEL_THRESHOLD))
     all_i, all_j, all_v = [], [], []
-    if use_panels:
-        panel = batch_size if batch_size > 0 else _AUTO_PANEL
-        for lo, hi, block in shared_kmer_counts_panels(kmer_sets, panel):
-            sim_b = ani_shorter(block, sizes, k, row_sizes=sizes[lo:hi])
-            ri, cj, v = _block_entries(block, sim_b, lo, hi, min_kmers,
-                                       min_ident)
+    if use_batches:
+        bsz = batch_size if batch_size > 0 else _AUTO_PANEL
+        for ri, cj, v in _batched_entries(genomes, kmer_sets, sizes, k, bsz,
+                                          min_kmers, min_ident):
             all_i.append(ri)
             all_j.append(cj)
             all_v.append(v)
     else:
-        counts = shared_kmer_counts(kmer_sets, backend=backend)
+        mesh = None
+        if backend != 'host':
+            try:
+                from ..parallel.mesh import auto_mesh
+                mesh = auto_mesh()
+            except Exception:
+                mesh = None
+        counts = shared_kmer_counts(kmer_sets, backend=backend, mesh=mesh)
         sim = ani_shorter(counts, sizes, k)
         ri, cj, v = _block_entries(counts, sim, 0, n, min_kmers, min_ident)
         all_i.append(ri)

@@ -39,7 +39,7 @@ small tolerance of the exact engine on every golden pair. Use `tpu` for
 throughput at scale; use `native` for golden-parity per-alignment output.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -52,16 +52,18 @@ from ..utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
 SEED_K = 9          # seed length for diagonal votes (TPU path)
-STRIDE = 2          # query positions between consecutive seed lookups
+STRIDE = 1          # query positions between consecutive seed lookups
 CANDS = 4           # candidate reference positions kept per seed
 BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster
 SMAX = 15           # cluster-count saturation (ranking needs no more)
-MIN_VOTES = 3       # votes needed for a block to elect a diagonal
+MIN_VOTES = 5       # votes needed for a block to elect a diagonal
 MSL = 7             # consecutive matches forming a seed run (chains)
 MAL = 11            # consecutive matches able to OPEN a region
-AW = 15             # max distance from a seed run for a match to chain
+AW = 39             # max distance from a seed run for a match to chain
+AW_WIN = 15         # approximate-extension window length (density rule)
+AM = 7              # max mismatches tolerated inside the window
 BATCH = 16          # directed pairs per vmapped chunk
 BIG = np.int32(2 ** 30)
 
@@ -265,7 +267,18 @@ def _pair_core(q_fwd, qv, qlen, r_fwd, r_rc,
     ne_neg = jax.lax.cummax(jnp.where(in_run, -iota, -BIG), reverse=True)
     ne = jnp.where(ne_neg > -BIG, -ne_neg, Lq + AW + 1)
     dist = jnp.minimum(jnp.where(pe >= 0, iota - pe, Lq), ne - iota)
-    ma = m & (dist <= AW)
+    # Density pass: the approximate-extension window rule (<= AM
+    # mismatches per AW_WIN positions) as a raster predicate — a match
+    # chains only if some AW_WIN-window covering it is dense enough.
+    # Random 25%-identity terrain fails this almost everywhere.
+    mi32 = m.astype(jnp.int32)
+    csm = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mi32)])
+    d_win = csm[iota + 1] - csm[jnp.maximum(iota + 1 - AW_WIN, 0)]
+    dense_end = d_win >= (AW_WIN - AM)
+    cf = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(dense_end.astype(jnp.int32))])
+    covered_by_dense = (cf[jnp.minimum(iota + AW_WIN, Lq)] - cf[iota]) > 0
+    ma = m & (dist <= AW) & (covered_by_dense | in_run)
 
     # --- 6. segmentation + aggregates ------------------------------------
     pm = _ffill_idx(ma, iota)                # last anchor at or before i
@@ -312,10 +325,9 @@ def _pair_direction_debug(*args, **kwargs):
     return _pair_direction(*args, **kwargs, debug=True)
 
 
-@partial(jax.jit, static_argnames=('Lq', 'Lr', 'mqd', 'mrd', 'reg'))
-def _group_run(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
-               br_sv_r, br_spos_r, q_rows, r_rows, qlens, rlens,
-               *, Lq, Lr, mqd, mrd, reg):
+def _group_run_body(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
+                    br_sv_r, br_spos_r, q_rows, r_rows, qlens, rlens,
+                    *, Lq, Lr, mqd, mrd, reg):
     """Run all chunks of one (q-bucket, r-bucket) task group in a single
     device program: lax.map over chunks, vmap over the tasks of a chunk.
     Rows/lens are (n_chunks, BATCH); returns (n_chunks, BATCH, 3)."""
@@ -329,6 +341,28 @@ def _group_run(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
         return jnp.stack([n, sm, sl], axis=-1)
 
     return jax.lax.map(chunk, (q_rows, r_rows, qlens, rlens))
+
+
+_group_run = jax.jit(_group_run_body, static_argnames=(
+    'Lq', 'Lr', 'mqd', 'mrd', 'reg'))
+
+
+@lru_cache(maxsize=128)
+def _make_sharded_group_run(mesh, Lq, Lr, mqd, mrd, reg):
+    """Pair-grid data parallelism over the mesh: the chunk axis of one
+    bucket-combination group is sharded across devices; the genome arena
+    is replicated (the sketch-allgather design of SURVEY.md section 7 —
+    pair tiles ride ICI-free, each device runs its chunk slice)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    body = partial(_group_run_body, Lq=Lq, Lr=Lr, mqd=mqd, mrd=mrd, reg=reg)
+    rep = (P(),) * 8
+    sharded = (P(axis, None),) * 4
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=rep + sharded,
+        out_specs=P(axis, None, None)))
 
 
 @partial(jax.jit, static_argnames=('k',))
@@ -384,15 +418,20 @@ class GenomeIndexTPU:
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 params: Optional[AlignParams] = None,
-                index: Optional[GenomeIndexTPU] = None) -> np.ndarray:
+                index: Optional[GenomeIndexTPU] = None,
+                mesh=None) -> np.ndarray:
     """All-vs-all aggregates on TPU for unordered candidate `pairs` over
     ids-ordered genomes. Returns int64 array (len(pairs), 6) with columns
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
-    as lz_native.all2all_native's aggregate output."""
+    as lz_native.all2all_native's aggregate output. With `mesh`, each
+    group's chunk axis is sharded over the mesh devices."""
     params = params or AlignParams()
     mqd, mrd, reg = params.mqd, params.mrd, params.reg
     idx = index or GenomeIndexTPU(codes_list)
     lens = idx.lens
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev <= 1:
+        mesh = None
 
     # Directed tasks (qidx, ridx, pair_row, out_col), grouped by bucket
     # combination so each group runs one compiled program.
@@ -404,13 +443,16 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             groups.setdefault((kq, kr), []).append((qi, ri, row, col))
 
     out = np.zeros((len(pairs), 6), dtype=np.int64)
-    pending = []   # (device result, task list)
+    pending = []   # (device results, task list)
+    # Fixed dispatch shape (chunk_rows, BATCH): ONE compiled program per
+    # bucket combination regardless of how many pairs a group has; chunk
+    # dispatches queue asynchronously on the device.
+    chunk_rows = n_dev if mesh is not None else 1
     for (kq, kr), ts in sorted(groups.items()):
         bq, br = idx.bucket[kq], idx.bucket[kr]
-        n_chunks = -(-len(ts) // BATCH)
-        # Pad chunk count to a power of two to bound compile variants.
-        n_chunks_p = 1 << (n_chunks - 1).bit_length()
-        n_pad = n_chunks_p * BATCH
+        per_dispatch = chunk_rows * BATCH
+        n_disp = -(-len(ts) // per_dispatch)
+        n_pad = n_disp * per_dispatch
         q_rows = np.zeros(n_pad, np.int32)
         r_rows = np.zeros(n_pad, np.int32)
         qlens = np.zeros(n_pad, np.int32)
@@ -420,18 +462,27 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             r_rows[t_i] = idx.row[ri]
             qlens[t_i] = lens[qi]
             rlens[t_i] = lens[ri]
-        shape = (n_chunks_p, BATCH)
-        res = _group_run(
-            bq['fwd'], bq['qv'], br['fwd'], br['rc'],
-            br['sv_f'], br['spos_f'], br['sv_r'], br['spos_r'],
-            jnp.asarray(q_rows.reshape(shape)),
-            jnp.asarray(r_rows.reshape(shape)),
-            jnp.asarray(qlens.reshape(shape)),
-            jnp.asarray(rlens.reshape(shape)),
-            Lq=kq, Lr=kr, mqd=mqd, mrd=mrd, reg=reg)
-        pending.append((res, ts))
-    for res, ts in pending:   # one transfer per group, post-dispatch
-        flat = np.asarray(res).reshape(-1, 3)
+        arena = (bq['fwd'], bq['qv'], br['fwd'], br['rc'],
+                 br['sv_f'], br['spos_f'], br['sv_r'], br['spos_r'])
+        if mesh is not None:
+            run = _make_sharded_group_run(mesh, kq, kr, mqd, mrd, reg)
+        else:
+            run = partial(_group_run, Lq=kq, Lr=kr, mqd=mqd, mrd=mrd,
+                          reg=reg)
+        results = []
+        shape = (chunk_rows, BATCH)
+        for d in range(n_disp):
+            lo, hi = d * per_dispatch, (d + 1) * per_dispatch
+            results.append(run(
+                *arena,
+                jnp.asarray(q_rows[lo:hi].reshape(shape)),
+                jnp.asarray(r_rows[lo:hi].reshape(shape)),
+                jnp.asarray(qlens[lo:hi].reshape(shape)),
+                jnp.asarray(rlens[lo:hi].reshape(shape))))
+        pending.append((results, ts))
+    for results, ts in pending:   # transfers post-dispatch
+        flat = np.concatenate([np.asarray(r).reshape(-1, 3)
+                               for r in results])
         for t_i, (qi, ri, row, col) in enumerate(ts):
             out[row, col:col + 3] = flat[t_i]
     return out

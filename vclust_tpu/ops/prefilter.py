@@ -155,6 +155,33 @@ class PrefilterIndex:
             if engine == 'native':
                 raise RuntimeError('native index engine unavailable')
         sg, lens = _group_coo(kmer_sets)
+        self._finish(sg, lens, dedup)
+
+    @classmethod
+    def from_coo(cls, sorted_kmers, gids, sizes, dedup: bool = True):
+        """Index from a k-mer-sorted (kmer, gid) COO — the path used by the
+        out-of-core batch store, where the COO comes from merging persisted
+        per-batch artifacts rather than from in-RAM k-mer sets."""
+        self = cls.__new__(cls)
+        self.n = len(sizes)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        starts = np.empty(len(sorted_kmers), dtype=bool)
+        if len(sorted_kmers):
+            starts[0] = True
+            np.not_equal(sorted_kmers[1:], sorted_kmers[:-1],
+                         out=starts[1:])
+            start_idx = np.flatnonzero(starts)
+            lens = np.diff(start_idx, append=len(gids))
+            shared = lens >= 2
+            sg = gids[np.repeat(shared, lens)]
+            lens = lens[shared].astype(np.int32)
+        else:
+            sg = np.empty(0, np.int32)
+            lens = np.empty(0, np.int32)
+        self._finish(sg, lens, dedup)
+        return self
+
+    def _finish(self, sg, lens, dedup):
         self.n_groups = len(lens)
         if dedup:
             sg, lens, weights = _dedup_patterns(sg, lens)
@@ -167,6 +194,82 @@ class PrefilterIndex:
     @property
     def dedup_ratio(self) -> float:
         return self.n_groups / max(len(self.lens), 1)
+
+
+class BatchIndexStore:
+    """Persisted per-batch incidence artifacts — the kmer-db `.kdb` analog
+    (reference builds one reusable database per `--batch-size` part,
+    vclust.py:1428-1442, and computes the all-vs-all blockwise via
+    `all2all-parts`). Each batch stores its k-mer-sorted (kmer, gid) COO +
+    per-genome set sizes as memmappable .npy files; the pair-count matrix
+    is produced block-by-block by merging two batches' sorted streams, so
+    host RAM holds at most two batches and each (i, j) block costs
+    O(nnz_i + nnz_j) — no full-corpus COO is ever materialized.
+    """
+
+    def __init__(self, directory):
+        import pathlib
+        self.dir = pathlib.Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.batches = []     # list of (gid_offset, n_genomes)
+
+    def add_batch(self, kmer_sets, gid_offset: int) -> int:
+        """Persist one batch; genome ids are global (offset + local)."""
+        b = len(self.batches)
+        nonempty = [np.asarray(s, dtype=np.uint64) for s in kmer_sets]
+        if any(len(s) for s in nonempty):
+            ks = np.concatenate([s for s in nonempty if len(s)])
+            gs = np.concatenate(
+                [np.full(len(s), gid_offset + g, dtype=np.int32)
+                 for g, s in enumerate(nonempty) if len(s)])
+            order = np.argsort(ks, kind='stable')
+            ks, gs = ks[order], gs[order]
+        else:
+            ks = np.empty(0, np.uint64)
+            gs = np.empty(0, np.int32)
+        np.save(self.dir / f'batch{b:05d}.kmers.npy', ks)
+        np.save(self.dir / f'batch{b:05d}.gids.npy', gs)
+        np.save(self.dir / f'batch{b:05d}.sizes.npy',
+                np.array([len(s) for s in nonempty], dtype=np.int64))
+        self.batches.append((gid_offset, len(kmer_sets)))
+        return b
+
+    def _load(self, b):
+        mm = dict(mmap_mode='r')
+        return (np.load(self.dir / f'batch{b:05d}.kmers.npy', **mm),
+                np.load(self.dir / f'batch{b:05d}.gids.npy', **mm),
+                np.load(self.dir / f'batch{b:05d}.sizes.npy'))
+
+    def sizes(self):
+        out = []
+        for b in range(len(self.batches)):
+            out.append(np.load(self.dir / f'batch{b:05d}.sizes.npy'))
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    def pair_block(self, i: int, j: int, mesh=None):
+        """Exact shared-k-mer counts between batches i and j (i <= j).
+
+        Returns (rows_offset, cols_offset, counts) where counts is the
+        (n_i, n_j) int64 block (full square block for i == j).
+        """
+        ki, gi, szi = self._load(i)
+        off_i, n_i = self.batches[i]
+        if i == j:
+            local = gi - off_i
+            idx = PrefilterIndex.from_coo(np.asarray(ki), local, szi)
+            counts = shared_kmer_counts_indexed(idx, mesh=mesh)
+            return off_i, off_i, counts
+        kj, gj, szj = self._load(j)
+        off_j, n_j = self.batches[j]
+        # Merge the two sorted streams (stable radix sort of the concat).
+        ks = np.concatenate([np.asarray(ki), np.asarray(kj)])
+        gs = np.concatenate([gi - off_i, gj - off_j + n_i])
+        order = np.argsort(ks, kind='stable')
+        ks, gs = ks[order], gs[order]
+        sizes = np.concatenate([szi, szj])
+        idx = PrefilterIndex.from_coo(ks, gs, sizes)
+        counts = shared_kmer_counts_indexed(idx, mesh=mesh)
+        return off_i, off_j, counts[:n_i, n_i:]
 
 
 @partial(jax.jit, static_argnames=('n_rows', 'n_pad_rows', 'n_genomes',
@@ -199,20 +302,93 @@ def _group_matmul_accum_w(counts, gids, sizes, w_limbs, n_rows: int,
     return acc
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _make_sharded_accum_w(mesh, n_rows: int, n_pad_rows: int,
+                          n_genomes: int, nnz: int, n_limbs: int):
+    """Mesh-sharded variant of _group_matmul_accum_w: the (genome, genome)
+    counts matrix is row-sharded over the mesh; every device scatters the
+    full occupancy chunk (O(nnz), cheap) and contracts only its row block
+    on its MXU (O(rows x n^2 / n_dev)), so the dominant matmul scales
+    linearly with devices and no counts traffic crosses the ICI at all
+    (SURVEY.md section 7: tiled pair grid under shard_map)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    shard = n_genomes // n_dev
+    total_rows = n_rows + n_pad_rows
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(), P(), P()),
+             out_specs=P(axis, None))
+    def _step(counts_blk, gids_r, sizes_r, w_r):
+        rows = jnp.repeat(jnp.arange(total_rows, dtype=jnp.int32), sizes_r,
+                          total_repeat_length=nnz)
+        occ = jnp.zeros((total_rows, n_genomes + 1), jnp.bfloat16)
+        occ = occ.at[rows, gids_r.astype(jnp.int32)].set(1)
+        occ = occ[:n_rows, :n_genomes]
+        my = jax.lax.axis_index(axis)
+        occ_p = jax.lax.dynamic_slice(
+            occ, (0, my * shard), (n_rows, shard))
+        acc = counts_blk
+        for limb in range(n_limbs):
+            w = w_r[limb, :n_rows, None].astype(jnp.bfloat16)
+            acc = acc + (256.0 ** limb) * jnp.dot(
+                occ_p.T, occ * w, preferred_element_type=jnp.float32)
+        return acc
+
+    return jax.jit(_step)
+
+
+def _counts_from_index_host(index: 'PrefilterIndex') -> np.ndarray:
+    """Host accumulation of pair counts from the pattern COO — exact, used
+    for corpora too small to amortize a device compile."""
+    n = index.n
+    counts = np.zeros((n, n), dtype=np.int64)
+    off = 0
+    for ln, w in zip(index.lens, index.weights):
+        g = index.gids[off:off + ln]
+        counts[np.ix_(g, g)] += w
+        off += ln
+    np.fill_diagonal(counts, index.sizes)
+    return counts
+
+
 def shared_kmer_counts_indexed(index: 'PrefilterIndex',
                                rows_chunk: int = 131072,
-                               nnz_chunk: int = 524288) -> np.ndarray:
+                               nnz_chunk: int = 524288,
+                               mesh=None, engine: str = 'auto') -> np.ndarray:
     """Exact pair counts from a PrefilterIndex (the kmer-db all2all-sp
-    analog): chunked weighted occupancy matmul on the MXU."""
+    analog): chunked weighted occupancy matmul on the MXU. With `mesh`,
+    the counts matrix is row-sharded over the mesh devices. engine='auto'
+    answers tiny corpora on the host (a device compile would dominate);
+    engine='device' forces the MXU path (used by bench validation)."""
     n = index.n
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
+    if engine == 'auto' and mesh is None and n <= 32:
+        return _counts_from_index_host(index)
     sg, shared_lens, weights = index.gids, index.lens, index.weights
-    rows_chunk = max(1024, min(rows_chunk, (1 << 28) // (4 * (n + 1))))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev <= 1:
+        mesh = None
+    # Pad the genome axis so the counts row shard divides evenly.
+    n_p = -(-n // n_dev) * n_dev if mesh is not None else n
+    rows_chunk = max(1024, min(rows_chunk, (1 << 28) // (4 * (n_p + 1))))
     rows_chunk, nnz_chunk = _adapt_chunks(sg, shared_lens, n, rows_chunk,
                                           nnz_chunk)
-    assert nnz_chunk >= n, 'nnz_chunk must be >= number of genomes'
-    counts = jnp.zeros((n, n), jnp.float32)
+    assert nnz_chunk >= n_p, 'nnz_chunk must be >= number of genomes'
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        counts = jax.device_put(
+            jnp.zeros((n_p, n_p), jnp.float32),
+            NamedSharding(mesh, P(mesh.axis_names[0], None)))
+    else:
+        counts = jnp.zeros((n, n), jnp.float32)
     if len(shared_lens):
         cum, chunks = _chunk_groups(shared_lens, rows_chunk, nnz_chunk)
         pad_group = 8
@@ -220,15 +396,18 @@ def shared_kmer_counts_indexed(index: 'PrefilterIndex',
         assert weights.max(initial=0) < (1 << 24), 'pattern weight overflow'
         n_limbs = max(1, int(np.ceil(
             np.log2(max(float(weights.max(initial=1)), 2.0)) / 8)))
-        gids_buf = np.full(nnz_chunk, n, dtype=np.int32)
+        gids_buf = np.full(nnz_chunk, n_p, dtype=np.int32)
         sizes_buf = np.zeros(rows_chunk + n_pad_rows, dtype=np.int32)
         w_buf = np.zeros((n_limbs, rows_chunk), dtype=np.float32)
+        step = (_make_sharded_accum_w(mesh, rows_chunk, n_pad_rows, n_p,
+                                      nnz_chunk, n_limbs)
+                if mesh is not None else None)
         for g_lo, g_hi in chunks:
             lo, hi = int(cum[g_lo]), int(cum[g_hi])
             m = hi - lo
             ng = g_hi - g_lo
             gids_buf[:m] = sg[lo:hi]
-            gids_buf[m:] = n
+            gids_buf[m:] = n_p
             sizes_buf[:] = 0
             sizes_buf[:ng] = shared_lens[g_lo:g_hi]
             w_buf[:] = 0
@@ -239,11 +418,20 @@ def shared_kmer_counts_indexed(index: 'PrefilterIndex',
             n_full = pad // pad_group
             sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
             sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
-            counts = _group_matmul_accum_w(
-                counts, jnp.asarray(gids_buf), jnp.asarray(sizes_buf),
-                jnp.asarray(w_buf), rows_chunk, n_pad_rows, n, nnz_chunk,
-                n_limbs)
-    counts = np.rint(np.asarray(counts)).astype(np.int64)
+            if mesh is not None:
+                # .copy(): jnp.asarray is zero-copy on the CPU backend,
+                # and these host buffers are mutated for the next chunk
+                # while this dispatch may still be reading them.
+                counts = step(counts, jnp.asarray(gids_buf.copy()),
+                              jnp.asarray(sizes_buf.copy()),
+                              jnp.asarray(w_buf.copy()))
+            else:
+                counts = _group_matmul_accum_w(
+                    counts, jnp.asarray(gids_buf.copy()),
+                    jnp.asarray(sizes_buf.copy()),
+                    jnp.asarray(w_buf.copy()), rows_chunk, n_pad_rows, n,
+                    nnz_chunk, n_limbs)
+    counts = np.rint(np.asarray(counts)).astype(np.int64)[:n, :n]
     np.fill_diagonal(counts, index.sizes)
     return counts
 
@@ -322,8 +510,11 @@ def shared_kmer_counts_device(kmer_sets, rows_chunk: int = 131072,
             n_full = pad // pad_group
             sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
             sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
+            # .copy(): see shared_kmer_counts_indexed — CPU jnp.asarray
+            # aliases host buffers that are mutated for the next chunk.
             counts = _group_matmul_accum(
-                counts, jnp.asarray(gids_buf), jnp.asarray(sizes_buf),
+                counts, jnp.asarray(gids_buf.copy()),
+                jnp.asarray(sizes_buf.copy()),
                 rows_chunk, n_pad_rows, n, nnz_chunk)
     counts = np.rint(np.asarray(counts)).astype(np.int64)
     np.fill_diagonal(counts, sizes)
@@ -413,10 +604,12 @@ def shared_kmer_counts_panels(kmer_sets, panel: int = 4096,
                 n_full = pad // pad_group
                 sizes_buf[rows_chunk:rows_chunk + n_full] = pad_group
                 sizes_buf[rows_chunk + n_full] = pad - n_full * pad_group
+                # .copy(): see shared_kmer_counts_indexed.
                 counts = _panel_matmul_accum(
-                    counts, jnp.asarray(gids_buf), jnp.asarray(gidp_buf),
-                    jnp.asarray(sizes_buf), rows_chunk, n_pad_rows, n,
-                    panel, nnz_chunk)
+                    counts, jnp.asarray(gids_buf.copy()),
+                    jnp.asarray(gidp_buf.copy()),
+                    jnp.asarray(sizes_buf.copy()), rows_chunk, n_pad_rows,
+                    n, panel, nnz_chunk)
         block = np.rint(np.asarray(counts[:hi - lo])).astype(np.int64)
         block[np.arange(hi - lo), np.arange(lo, hi)] = sizes[lo:hi]
         yield lo, hi, block
@@ -435,14 +628,15 @@ def shared_kmer_counts_host(kmer_sets) -> np.ndarray:
     return counts
 
 
-def shared_kmer_counts(kmer_sets, backend: str = 'auto') -> np.ndarray:
+def shared_kmer_counts(kmer_sets, backend: str = 'auto',
+                       mesh=None) -> np.ndarray:
     if backend == 'host':
         return shared_kmer_counts_host(kmer_sets)
     if backend == 'auto':
         # Tiny inputs: the host sort-merge beats one-off jit compilation.
         if not _HAVE_JAX or len(kmer_sets) <= 32:
             return shared_kmer_counts_host(kmer_sets)
-    return shared_kmer_counts_indexed(PrefilterIndex(kmer_sets))
+    return shared_kmer_counts_indexed(PrefilterIndex(kmer_sets), mesh=mesh)
 
 
 def ani_shorter(counts: np.ndarray, sizes: np.ndarray, k: int,

@@ -23,6 +23,11 @@ def make_mesh(n_devices: int = None, axis: str = 'pairs') -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def auto_mesh(axis: str = 'pairs'):
+    """Mesh over all visible devices, or None when only one is present."""
+    return make_mesh(axis=axis) if len(jax.devices()) > 1 else None
+
+
 def sharded_pair_counts(mesh: Mesh, occ: jnp.ndarray) -> jnp.ndarray:
     """counts = occ @ occ.T with the genome axis sharded over the mesh.
 

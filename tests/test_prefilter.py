@@ -75,3 +75,36 @@ def test_prefilter_min_ident_drops_pairs(test_dir):
     m = read_fltr(out)
     assert all(v >= 0.95 for v in m.entries.values())
     assert len(m.entries) < 13
+
+
+def test_kmers_fraction_semantics(test_dir):
+    """--kmers-fraction (the MinHash-style sketch subsample, reference
+    vclust.py:240-248; hash is [EXTERNAL], so only behavior is pinned):
+    deterministic across runs, samples ~fraction of each genome's k-mers,
+    and still surfaces every golden candidate pair on the example corpus.
+    """
+    import numpy as np
+    from vclust_tpu.core.kmers import canonical_kmer_set
+    from vclust_tpu.models.input import load_genomes
+    from vclust_tpu.models.prefilter import run_prefilter
+
+    genomes, _ = load_genomes(FASTA_FILE)
+    rng_seq = genomes[0].seqs[0]
+    full = canonical_kmer_set(rng_seq, 25, 1.0)
+    for fraction in (0.5, 0.2):
+        a = canonical_kmer_set(rng_seq, 25, fraction)
+        b = canonical_kmer_set(rng_seq, 25, fraction)
+        assert np.array_equal(a, b)                 # deterministic
+        assert set(a) <= set(full)                  # a true subsample
+        ratio = len(a) / len(full)
+        assert abs(ratio - fraction) < 0.02         # ~fraction of k-mers
+
+    golden = run_prefilter(genomes, k=25, min_kmers=10, min_ident=0.7)
+    sampled = run_prefilter(genomes, k=25, min_kmers=10, min_ident=0.7,
+                            kmers_fraction=0.5)
+    # Every golden candidate pair survives a 0.5 sketch on this corpus,
+    # and sampling cannot invent strong new pairs.
+    assert set(golden.entries) <= set(sampled.entries) | set()
+    for key, v in sampled.entries.items():
+        if key not in golden.entries:
+            assert v < 0.95

@@ -53,7 +53,9 @@ enable_compilation_cache()
 
 SEED_K = 9          # seed length for diagonal votes (TPU path)
 STRIDE = 1          # query positions between consecutive seed lookups
-CANDS = 4           # candidate reference positions kept per seed
+CANDS = 2           # candidate reference positions kept per seed (the
+#                     newest two occurrences; the block election makes
+#                     repeat resolution robust to the small candidate set)
 BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster

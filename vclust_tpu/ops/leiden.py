@@ -1,12 +1,17 @@
 """Leiden community detection (host implementation).
 
 Replaces clusty's igraph-backed Leiden mode (reference vclust.py:549-569;
-flags --leiden-resolution/--leiden-beta/--leiden-iterations). Standard Leiden
-(Traag et al. 2019): local moving, refinement with beta-randomness, graph
-aggregation; modularity objective with a resolution parameter; weighted
-undirected graphs. Deterministically seeded so repeated runs are
-md5-stable, matching the reference's determinism contract
-(SURVEY.md section 4.3).
+flags --leiden-resolution/--leiden-beta/--leiden-iterations). Standard
+Leiden (Traag et al. 2019): local moving, refinement with beta-randomness,
+graph aggregation; modularity objective with a resolution parameter;
+weighted undirected graphs. Deterministically seeded so repeated runs are
+md5-stable, matching the reference's determinism contract (SURVEY.md
+section 4.3).
+
+The graph lives in CSR arrays and all per-node work is vectorized numpy
+(community-weight sums via unique+bincount on the neighbor slice), so the
+million-contig vOTU configurations in BASELINE.md fit: cost is
+O(E log deg) per local-move pass with no per-edge Python objects.
 """
 
 from typing import List
@@ -14,78 +19,112 @@ from typing import List
 import numpy as np
 
 
-def _local_move(n, neighbors, self_loops, comm, resolution, total_w, rng,
-                node_w):
+class _Graph:
+    """CSR with per-node weights; edges stored once per direction."""
+
+    def __init__(self, n, src, dst, w, node_w):
+        self.n = n
+        order = np.lexsort((dst, src))
+        self.dst = dst[order]
+        self.w = w[order]
+        counts = np.bincount(src, minlength=n)
+        self.indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.indptr[1:])
+        self.node_w = node_w
+        self.total_w = float(w.sum()) / 2.0
+
+    def row(self, i):
+        lo, hi = self.indptr[i], self.indptr[i + 1]
+        return self.dst[lo:hi], self.w[lo:hi]
+
+
+def _comm_weights(labels, nb, wrow):
+    """(unique communities among nb, summed edge weight to each)."""
+    uc, inv = np.unique(labels[nb], return_inverse=True)
+    return uc, np.bincount(inv, weights=wrow)
+
+
+def _local_move(g: '_Graph', comm, resolution):
     """Queue-based local moving; mutates comm. Returns True if changed."""
-    comm_w = np.zeros(n)
-    for i in range(n):
-        comm_w[comm[i]] += node_w[i]
+    n = g.n
+    comm_w = np.bincount(comm, weights=g.node_w, minlength=n)
     queue = list(range(n))
-    in_queue = [True] * n
+    in_queue = np.ones(n, dtype=bool)
     changed = False
     head = 0
+    two_m = 2.0 * g.total_w
     while head < len(queue):
         i = queue[head]
         head += 1
         in_queue[i] = False
+        nb, wrow = g.row(i)
+        if len(nb) == 0:
+            continue
         ci = comm[i]
-        # Weights from i to each neighboring community.
-        w_to = {}
-        for j, w in neighbors[i]:
-            w_to[comm[j]] = w_to.get(comm[j], 0.0) + w
-        comm_w[ci] -= node_w[i]
-        best_c, best_gain = ci, w_to.get(ci, 0.0) - resolution * \
-            node_w[i] * comm_w[ci] / (2.0 * total_w)
-        for c, w in sorted(w_to.items()):
-            if c == ci:
-                continue
-            gain = w - resolution * node_w[i] * comm_w[c] / (2.0 * total_w)
-            if gain > best_gain + 1e-12:
-                best_c, best_gain = c, gain
-        comm_w[best_c] += node_w[i]
+        comm_w[ci] -= g.node_w[i]
+        uc, w_to = _comm_weights(comm, nb, wrow)
+        gains = w_to - resolution * g.node_w[i] * comm_w[uc] / two_m
+        pos = np.searchsorted(uc, ci)
+        if pos < len(uc) and uc[pos] == ci:
+            best_gain = gains[pos]
+        else:
+            best_gain = -resolution * g.node_w[i] * comm_w[ci] / two_m
+        best_c = ci
+        j = int(np.argmax(gains))
+        if uc[j] != ci and gains[j] > best_gain + 1e-12:
+            # ties among non-current communities: smallest id (uc sorted,
+            # argmax returns the first maximum)
+            best_c, best_gain = int(uc[j]), gains[j]
+        elif uc[j] == ci and len(uc) > 1:
+            g2 = gains.copy()
+            g2[j] = -np.inf
+            k = int(np.argmax(g2))
+            if g2[k] > best_gain + 1e-12:
+                best_c = int(uc[k])
+        comm_w[best_c] += g.node_w[i]
         if best_c != ci:
             comm[i] = best_c
             changed = True
-            for j, _ in neighbors[i]:
-                if comm[j] != best_c and not in_queue[j]:
-                    queue.append(j)
-                    in_queue[j] = True
+            requeue = nb[(comm[nb] != best_c) & ~in_queue[nb]]
+            queue.extend(requeue.tolist())
+            in_queue[requeue] = True
     return changed
 
 
-def _refine(n, neighbors, comm, resolution, total_w, beta, rng, node_w):
+def _refine(g: '_Graph', comm, resolution, beta, rng):
     """Refinement phase: within each community, grow well-connected
     subcommunities starting from singletons; beta controls randomness."""
+    n = g.n
     sub = np.arange(n)
-    sub_w = node_w.copy().astype(float)
+    sub_w = g.node_w.astype(float).copy()
     order = rng.permutation(n)
+    two_m = 2.0 * g.total_w
     for i in order:
-        if sub_w[sub[i]] != node_w[i]:
+        if sub_w[sub[i]] != g.node_w[i]:
             continue  # only singleton subcommunities may move
-        gains = []
-        w_to = {}
-        for j, w in neighbors[i]:
-            if comm[j] != comm[i]:
-                continue
-            w_to[sub[j]] = w_to.get(sub[j], 0.0) + w
-        for s, w in sorted(w_to.items()):
-            if s == sub[i]:
-                continue
-            gain = w - resolution * node_w[i] * sub_w[s] / (2.0 * total_w)
-            if gain >= 0:
-                gains.append((gain, s))
-        if not gains:
+        nb, wrow = g.row(i)
+        sel = comm[nb] == comm[i]
+        if not sel.any():
             continue
+        us, w_to = _comm_weights(sub, nb[sel], wrow[sel])
+        keep = us != sub[i]
+        us, w_to = us[keep], w_to[keep]
+        if len(us) == 0:
+            continue
+        gains = w_to - resolution * g.node_w[i] * sub_w[us] / two_m
+        ok = gains >= 0
+        if not ok.any():
+            continue
+        gains, us = gains[ok], us[ok]
         if beta > 0:
-            g = np.array([x[0] for x in gains])
-            probs = np.exp(g / max(beta, 1e-9))
+            probs = np.exp(gains / max(beta, 1e-9))
             probs /= probs.sum()
-            pick = int(rng.choice(len(gains), p=probs))
+            pick = int(rng.choice(len(us), p=probs))
         else:
-            pick = int(np.argmax([x[0] for x in gains]))
-        target = gains[pick][1]
-        sub_w[target] += node_w[i]
-        sub_w[sub[i]] -= node_w[i]
+            pick = int(np.argmax(gains))
+        target = int(us[pick])
+        sub_w[target] += g.node_w[i]
+        sub_w[sub[i]] -= g.node_w[i]
         sub[i] = target
     return sub
 
@@ -97,51 +136,43 @@ def leiden(n: int, edges: np.ndarray, weights: np.ndarray,
     if n == 0:
         return []
     rng = np.random.default_rng(seed)
-    # Current aggregation state: mapping original node -> supernode.
     mapping = np.arange(n)
-    cur_edges = [(int(a), int(b), float(w))
-                 for (a, b), w in zip(edges, weights)]
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    ww = np.asarray(weights, dtype=np.float64)
+    # Drop self loops from the move graph; they only shift the objective
+    # by a constant.
+    keep = edges[:, 0] != edges[:, 1]
+    src = np.concatenate([edges[keep, 0], edges[keep, 1]])
+    dst = np.concatenate([edges[keep, 1], edges[keep, 0]])
+    w = np.concatenate([ww[keep], ww[keep]])
     cur_n = n
-    cur_node_w = np.ones(cur_n)
+    node_w = np.ones(cur_n)
 
     for _ in range(max(1, iterations)):
-        neighbors = [[] for _ in range(cur_n)]
-        self_loops = np.zeros(cur_n)
-        total_w = 0.0
-        for a, b, w in cur_edges:
-            if a == b:
-                self_loops[a] += w
-                total_w += w
-                continue
-            neighbors[a].append((b, w))
-            neighbors[b].append((a, w))
-            total_w += w
-        if total_w <= 0:
+        if len(w) == 0 or w.sum() <= 0:
             break
+        g = _Graph(cur_n, src, dst, w, node_w)
         comm = np.arange(cur_n)
-        while _local_move(cur_n, neighbors, self_loops, comm, resolution,
-                          total_w, rng, cur_node_w):
+        while _local_move(g, comm, resolution):
             pass
-        sub = _refine(cur_n, neighbors, comm, resolution, total_w, beta,
-                      rng, cur_node_w)
-        # Aggregate by refined partition; communities constrain next round.
+        sub = _refine(g, comm, resolution, beta, rng)
         uniq, sub_ids = np.unique(sub, return_inverse=True)
         new_n = len(uniq)
-        agg = {}
-        for a, b, w in cur_edges:
-            sa, sb = sub_ids[a], sub_ids[b]
-            key = (min(sa, sb), max(sa, sb))
-            agg[key] = agg.get(key, 0.0) + w
-        new_node_w = np.zeros(new_n)
-        for i in range(cur_n):
-            new_node_w[sub_ids[i]] += cur_node_w[i]
-        # Compose mappings: original -> new supernode.
+        # Aggregate edges between refined subcommunities.
+        sa, sb = sub_ids[src], sub_ids[dst]
+        off = sa * new_n + sb
+        uo, inv = np.unique(off, return_inverse=True)
+        w_agg = np.bincount(inv, weights=w)
+        src2 = (uo // new_n).astype(np.int64)
+        dst2 = (uo % new_n).astype(np.int64)
+        keep = src2 != dst2
+        new_node_w = np.bincount(sub_ids, weights=node_w, minlength=new_n)
         mapping = sub_ids[mapping]
-        cur_edges = [(a, b, w) for (a, b), w in agg.items()]
+        src, dst, w = src2[keep], dst2[keep], w_agg[keep]
         if new_n == cur_n:
             cur_n = new_n
-            cur_node_w = new_node_w
+            node_w = new_node_w
             break
         cur_n = new_n
-        cur_node_w = new_node_w
+        node_w = new_node_w
     return [int(x) for x in mapping]

@@ -59,7 +59,7 @@ def bench_align_native(corpus):
             'align_pairs_per_s': round(n_pairs / best, 1)}
 
 
-def bench_align_tpu(corpus):
+def bench_align_tpu(corpus, prefix='tpu_align'):
     import numpy as np
     from vclust_tpu.models.align import _genome_codes, order_objects
     from vclust_tpu.ops import align_tpu
@@ -77,10 +77,28 @@ def bench_align_tpu(corpus):
     t0 = time.time()
     align_tpu.all2all_tpu(codes, pairs, index=idx)
     dt = time.time() - t0
-    return {'tpu_align_pairs_per_s': round(len(pairs) / dt, 1),
-            'tpu_align_seconds': round(dt, 3),
-            'tpu_align_index_seconds': round(t_index, 3),
-            'tpu_align_compile_seconds': round(t_first - dt, 1)}
+    return {f'{prefix}_pairs_per_s': round(len(pairs) / dt, 1),
+            f'{prefix}_seconds': round(dt, 3),
+            f'{prefix}_index_seconds': round(t_index, 3),
+            f'{prefix}_compile_seconds': round(t_first - dt, 1)}
+
+
+def make_contig_corpus(n=128, length=3500, families=16):
+    """Metagenomic-contig-sized corpus: `families` base contigs, each with
+    mutated variants at 2-10% divergence (the post-prefilter mix)."""
+    import numpy as np
+    from vclust_tpu.models.input import Genome
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b'ACGT', dtype='S1')
+    bases = [acgt[rng.integers(0, 4, length)] for _ in range(families)]
+    corpus = []
+    for i in range(n):
+        s = bases[i % families].copy()
+        rate = rng.uniform(0.02, 0.10)
+        mask = rng.random(length) < rate
+        s[mask] = acgt[rng.integers(0, 4, mask.sum())]
+        corpus.append(Genome(name=f'c{i}', seqs=[s.tobytes()]))
+    return corpus
 
 
 def validate_device_counts(base_sets):
@@ -121,6 +139,8 @@ def main():
 
     align_corpus = make_align_corpus(genomes)
     tpu_align = bench_align_tpu(align_corpus)
+    contig_align = bench_align_tpu(make_contig_corpus(),
+                                   prefix='tpu_align_contig')
     native_align = bench_align_native(align_corpus)
 
     # Replicate with distinct hash offsets so the universe stays realistic.
@@ -160,7 +180,7 @@ def main():
                        n_pairs / (t_build + dt), 1),
                    'pattern_dedup_ratio': round(index.dedup_ratio, 2),
                    'device_counts_validated': True,
-                   **tpu_align, **native_align},
+                   **tpu_align, **contig_align, **native_align},
     }))
 
 

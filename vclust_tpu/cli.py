@@ -16,6 +16,7 @@ binaries; the on-disk formats are identical.
 import argparse
 import logging
 import multiprocessing
+import os
 import pathlib
 import sys
 
@@ -481,7 +482,16 @@ def main(argv=None):
     if validator:
         args = validator(sub, args)
     try:
-        HANDLERS[args.command](args)
+        profile_dir = os.environ.get('VCLUST_PROFILE')
+        if profile_dir:
+            # Device-level tracing (SURVEY.md section 5.1): wraps the stage
+            # in a jax.profiler trace viewable in TensorBoard/Perfetto.
+            import jax
+            with jax.profiler.trace(profile_dir):
+                HANDLERS[args.command](args)
+            get_logger().info(f'Profiler trace written to {profile_dir}')
+        else:
+            HANDLERS[args.command](args)
     except SystemExit:
         raise
     except Exception as exc:

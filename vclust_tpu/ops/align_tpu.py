@@ -66,7 +66,15 @@ MAL = 11            # consecutive matches able to OPEN a region
 AW = 39             # max distance from a seed run for a match to chain
 AW_WIN = 15         # approximate-extension window length (density rule)
 AM = 7              # max mismatches tolerated inside the window
-BATCH = 16          # directed pairs per vmapped chunk
+BATCH = 16          # directed pairs per vmapped chunk at the largest
+#                     buckets; small buckets batch more (see _batch_for) so
+#                     dispatch overhead amortizes
+
+
+def _batch_for(Lq: int, Lr: int) -> int:
+    """Pairs per dispatch: ~2M padded query bases per chunk, so device
+    work per dispatch stays >> launch overhead at every bucket size."""
+    return max(16, min(512, (1 << 21) // max(Lq, Lr)))
 BIG = np.int32(2 ** 30)
 
 _BUCKETS = sorted({4096 << i for i in range(8)}
@@ -452,7 +460,8 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     chunk_rows = n_dev if mesh is not None else 1
     for (kq, kr), ts in sorted(groups.items()):
         bq, br = idx.bucket[kq], idx.bucket[kr]
-        per_dispatch = chunk_rows * BATCH
+        batch = _batch_for(kq, kr)
+        per_dispatch = chunk_rows * batch
         n_disp = -(-len(ts) // per_dispatch)
         n_pad = n_disp * per_dispatch
         q_rows = np.zeros(n_pad, np.int32)
@@ -472,7 +481,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             run = partial(_group_run, Lq=kq, Lr=kr, mqd=mqd, mrd=mrd,
                           reg=reg)
         results = []
-        shape = (chunk_rows, BATCH)
+        shape = (chunk_rows, batch)
         for d in range(n_disp):
             lo, hi = d * per_dispatch, (d + 1) * per_dispatch
             results.append(run(

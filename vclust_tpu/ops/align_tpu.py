@@ -461,6 +461,12 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     for (kq, kr), ts in sorted(groups.items()):
         bq, br = idx.bucket[kq], idx.bucket[kr]
         batch = _batch_for(kq, kr)
+        # Tiny groups: don't pad a handful of tasks to a huge chunk (and
+        # don't compile one); round the needed size up to a power of two
+        # so variant count stays logarithmic.
+        need = -(-len(ts) // chunk_rows)
+        if need < batch:
+            batch = max(16, 1 << (need - 1).bit_length())
         per_dispatch = chunk_rows * batch
         n_disp = -(-len(ts) // per_dispatch)
         n_pad = n_disp * per_dispatch

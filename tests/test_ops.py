@@ -160,3 +160,32 @@ def test_native_index_matches_numpy_patterns():
                 off += L
             return sorted(out)
         assert canon(a) == canon(b)
+
+
+def test_batch_store_blocks_match_dense(tmp_path):
+    """Persisted-batch blockwise counting (the .kdb/all2all-parts analog)
+    == dense host counts, including cross-batch blocks and uneven tail."""
+    import numpy as np
+    from vclust_tpu.ops.prefilter import (BatchIndexStore,
+                                          shared_kmer_counts_host)
+
+    rng = np.random.default_rng(5)
+    universe = rng.choice(2**40, size=2000, replace=False).astype(np.uint64)
+    sets = []
+    for g in range(30):
+        take = rng.random(len(universe)) < rng.uniform(0.1, 0.6)
+        sets.append(np.sort(universe[take]))
+    dense = shared_kmer_counts_host(sets)
+
+    store = BatchIndexStore(tmp_path)
+    for lo in range(0, 30, 7):
+        store.add_batch(sets[lo:lo + 7], lo)
+    out = np.zeros_like(dense)
+    nb = len(store.batches)
+    for i in range(nb):
+        for j in range(i, nb):
+            ro, co, block = store.pair_block(i, j)
+            out[ro:ro + block.shape[0], co:co + block.shape[1]] = block
+            if i != j:
+                out[co:co + block.shape[1], ro:ro + block.shape[0]] = block.T
+    assert np.array_equal(out, dense)

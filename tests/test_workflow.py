@@ -40,3 +40,24 @@ def test_workflow_filter_threshold(test_dir):
     with open(ani) as fh:
         n_rows = sum(1 for _ in fh) - 1
     assert 0 < n_rows < 26
+
+
+def test_full_workflow_tpu_engine(test_dir):
+    """The pipeline with the TPU align engine lands on the byte-identical
+    golden clusters.tsv: the engine's measures are within tolerance of the
+    exact engine everywhere it matters for the tani-0.95 decision."""
+    fltr = test_dir / 'fltr.txt'
+    ani = test_dir / 'ani.tsv'
+    ids = test_dir / 'ani.ids.tsv'
+    clusters = test_dir / 'clusters.tsv'
+
+    p = run_vclust(['prefilter', '-i', FASTA_FILE, '-o', fltr, '-v', '0'])
+    assert p.returncode == 0, p.stderr
+    p = run_vclust(['align', '-i', FASTA_FILE, '-o', ani, '--filter', fltr,
+                    '--filter-threshold', '0.7', '--engine', 'tpu',
+                    '-v', '0'])
+    assert p.returncode == 0, p.stderr
+    p = run_vclust(['cluster', '-i', ani, '--ids', ids, '-o', clusters,
+                    '--metric', 'tani', '--tani', '0.95', '-v', '0'])
+    assert p.returncode == 0, p.stderr
+    assert clusters.read_text() == (GOLD_DIR / 'clusters.tsv').read_text()

@@ -27,6 +27,7 @@ import sys
 import time
 
 sys.path.insert(0, '.')
+from vclust_tpu.utils.data import example_path
 
 
 def make_align_corpus(genomes, reps=3):
@@ -133,7 +134,7 @@ def main():
     from vclust_tpu.ops.prefilter import (PrefilterIndex,
                                           shared_kmer_counts_indexed)
 
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     base_sets = [genome_kmer_set(g, 25, 1.0) for g in genomes]
     validate_device_counts(base_sets)
 

@@ -7,7 +7,12 @@ import sys
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-REFERENCE_EXAMPLE = pathlib.Path('/root/reference/example')
+# Parity corpus: vendored in-repo (the reference ships it the same way,
+# reference MANIFEST.in:3-4); fall back to the reference checkout only if
+# the vendored copy is missing.
+REFERENCE_EXAMPLE = REPO / 'example'
+if not REFERENCE_EXAMPLE.exists():  # pragma: no cover
+    REFERENCE_EXAMPLE = pathlib.Path('/root/reference/example')
 
 # Tests run JAX on CPU with a virtual 8-device mesh so sharding paths are
 # exercised without TPU hardware (SURVEY.md section 7; driver validates the

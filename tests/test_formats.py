@@ -5,6 +5,7 @@ import sys
 
 sys.path.insert(0, '.')
 
+from conftest import REFERENCE_EXAMPLE
 from vclust_tpu.io.formats import (FilterMatrix, read_fltr, write_fltr,
                                    read_ids, write_ids)
 from vclust_tpu.utils.fmt import fmt_measure, fmt_len_ratio, fmt_fltr_value
@@ -47,7 +48,7 @@ def test_fltr_roundtrip(tmp_path):
 
 
 def test_fltr_golden_roundtrip(tmp_path):
-    golden = '/root/reference/example/output/fltr.txt'
+    golden = str(REFERENCE_EXAMPLE / 'output' / 'fltr.txt')
     m = read_fltr(golden)
     out = tmp_path / 'fltr.txt'
     write_fltr(out, m)

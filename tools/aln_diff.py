@@ -12,6 +12,9 @@ expose systematic parse differences.
 import sys
 from collections import defaultdict
 
+sys.path.insert(0, '.')
+from vclust_tpu.utils.data import example_path  # noqa: E402
+
 
 def load(path):
     by_pair = defaultdict(list)
@@ -29,7 +32,7 @@ def load(path):
 
 def main():
     gold = load(sys.argv[1] if len(sys.argv) > 1
-                else '/root/reference/example/output/ani.aln.tsv')
+                else example_path('output', 'ani.aln.tsv'))
     mine = load(sys.argv[2] if len(sys.argv) > 2
                 else '/tmp/parity/ani.aln.tsv')
 

@@ -15,6 +15,7 @@ sys.path.insert(0, '.')
 
 import numpy as np                                        # noqa: E402
 from vclust_tpu.models.input import load_genomes          # noqa: E402
+from vclust_tpu.utils.data import example_path
 from vclust_tpu.models.align import (_genome_codes,       # noqa: E402
                                      order_objects)
 from vclust_tpu.ops.lz_parse_py import (AlignParams,      # noqa: E402
@@ -71,8 +72,8 @@ def lcs_matches(a, b):
 
 
 def main():
-    gold = load_aln('/root/reference/example/output/ani.aln.tsv')
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    gold = load_aln(example_path('output', 'ani.aln.tsv'))
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     order = order_objects(genomes)
     names = [genomes[i].name for i in order]
     codes = {pos: _genome_codes(genomes[order[pos]])

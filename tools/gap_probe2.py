@@ -16,6 +16,7 @@ sys.path.insert(0, '.')
 import numpy as np
 
 from vclust_tpu.models.input import load_genomes
+from vclust_tpu.utils.data import example_path
 from vclust_tpu.models.align import _genome_codes, order_objects
 from vclust_tpu.ops.lz_parse_py import (AlignParams, ReferenceIndex,
                                         parse_pair)
@@ -34,8 +35,8 @@ def load_gold(path):
 
 
 def main():
-    gold = load_gold('/root/reference/example/output/ani.aln.tsv')
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    gold = load_gold(example_path('output', 'ani.aln.tsv'))
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     by_name = {g.name: g for g in genomes}
     params = AlignParams()
     rules = Counter()

@@ -12,12 +12,13 @@ import time
 sys.path.insert(0, '.')
 
 from vclust_tpu.models.input import load_genomes          # noqa: E402
+from vclust_tpu.utils.data import example_path
 from vclust_tpu.models.align import run_align             # noqa: E402
 from vclust_tpu.ops.lz_parse_py import AlignParams        # noqa: E402
 from vclust_tpu.io.formats import write_ani, write_ids, write_aln  # noqa: E402
 from vclust_tpu import ALIGN_OUTFMT                       # noqa: E402
 
-GOLD = '/root/reference/example/output'
+GOLD = example_path('output')
 
 
 def load_ani(path):
@@ -63,7 +64,7 @@ def main():
     params = AlignParams(**overrides)
     print('params:', params)
 
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     t0 = time.time()
     res = run_align(genomes, params=params, keep_alignments=True)
     dt = time.time() - t0

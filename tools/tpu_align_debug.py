@@ -16,6 +16,7 @@ sys.path.insert(0, '.')
 import numpy as np
 
 from vclust_tpu.models.input import load_genomes
+from vclust_tpu.utils.data import example_path
 from vclust_tpu.models.align import _genome_codes, order_objects
 from vclust_tpu.ops.lz_parse_py import (AlignParams, ReferenceIndex,
                                         parse_pair)
@@ -57,7 +58,7 @@ def exact_position_credit(q_codes, r_codes, params):
 
 def main():
     qname, rname = sys.argv[1], sys.argv[2]
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     by_name = {g.name: g for g in genomes}
     q_codes = _genome_codes(by_name[qname])
     r_codes = _genome_codes(by_name[rname])

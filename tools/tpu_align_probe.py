@@ -9,6 +9,7 @@ sys.path.insert(0, '.')
 import numpy as np
 
 from vclust_tpu.models.input import load_genomes
+from vclust_tpu.utils.data import example_path
 from vclust_tpu.models.align import (_genome_codes, order_objects, run_align)
 from vclust_tpu.ops import align_tpu
 
@@ -25,7 +26,7 @@ TRUE_TANI = {
 
 
 def main():
-    genomes, _ = load_genomes('/root/reference/example/multifasta.fna')
+    genomes, _ = load_genomes(example_path('multifasta.fna'))
     order = order_objects(genomes)
     names = [genomes[i].name for i in order]
     lengths = [genomes[i].total_len for i in order]

@@ -152,12 +152,19 @@ def run_prefilter(
     if max_seqs and max_seqs > 0 and len(rows):
         # kmer-db `-sample-rows ani-shorter:M`: keep the M best entries per
         # row by similarity (reference vclust.py:249-259,1015-1016).
-        keep = np.ones(len(rows), dtype=bool)
-        row_counts = np.bincount(rows, minlength=n)
-        for i in np.nonzero(row_counts > max_seqs)[0]:
-            idx = np.nonzero(rows == i)[0]
-            order = np.lexsort((cols[idx], -vals[idx]))
-            keep[idx[order[max_seqs:]]] = False
+        # One lexsort by (row, -val, col) then a per-row running rank via
+        # segment arithmetic — O(nnz log nnz), no per-row scans.
+        order = np.lexsort((cols, -vals, rows))
+        r_sorted = rows[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        np.not_equal(r_sorted[1:], r_sorted[:-1], out=first[1:])
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(order)), 0))
+        rank_in_row = np.arange(len(order)) - seg_start
+        keep_sorted = rank_in_row < max_seqs
+        keep = np.zeros(len(rows), dtype=bool)
+        keep[order] = keep_sorted
         rows, cols, vals = rows[keep], cols[keep], vals[keep]
 
     m = FilterMatrix(kmer_length=k, fraction=kmers_fraction, names=names)

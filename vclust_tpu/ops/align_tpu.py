@@ -482,23 +482,28 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         arena = (bq['fwd'], bq['qv'], br['fwd'], br['rc'],
                  br['sv_f'], br['spos_f'], br['sv_r'], br['spos_r'])
         if mesh is not None:
+            from ..parallel.distributed import replicate, shard_rows
             run = _make_sharded_group_run(mesh, kq, kr, mqd, mrd, reg)
+            arena = tuple(replicate(mesh, a) for a in arena)
+            place = partial(shard_rows, mesh)
         else:
             run = partial(_group_run, Lq=kq, Lr=kr, mqd=mqd, mrd=mrd,
                           reg=reg)
+            place = jnp.asarray
         results = []
         shape = (chunk_rows, batch)
         for d in range(n_disp):
             lo, hi = d * per_dispatch, (d + 1) * per_dispatch
             results.append(run(
                 *arena,
-                jnp.asarray(q_rows[lo:hi].reshape(shape)),
-                jnp.asarray(r_rows[lo:hi].reshape(shape)),
-                jnp.asarray(qlens[lo:hi].reshape(shape)),
-                jnp.asarray(rlens[lo:hi].reshape(shape))))
+                place(q_rows[lo:hi].reshape(shape)),
+                place(r_rows[lo:hi].reshape(shape)),
+                place(qlens[lo:hi].reshape(shape)),
+                place(rlens[lo:hi].reshape(shape))))
         pending.append((results, ts))
+    from ..parallel.distributed import fetch
     for results, ts in pending:   # transfers post-dispatch
-        flat = np.concatenate([np.asarray(r).reshape(-1, 3)
+        flat = np.concatenate([fetch(r).reshape(-1, 3)
                                for r in results])
         for t_i, (qi, ri, row, col) in enumerate(ts):
             out[row, col:col + 3] = flat[t_i]

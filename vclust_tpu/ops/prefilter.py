@@ -422,16 +422,20 @@ def shared_kmer_counts_indexed(index: 'PrefilterIndex',
                 # .copy(): jnp.asarray is zero-copy on the CPU backend,
                 # and these host buffers are mutated for the next chunk
                 # while this dispatch may still be reading them.
-                counts = step(counts, jnp.asarray(gids_buf.copy()),
-                              jnp.asarray(sizes_buf.copy()),
-                              jnp.asarray(w_buf.copy()))
+                # replicate(): explicit mesh placement — required when the
+                # mesh spans processes (multi-host), harmless otherwise.
+                from ..parallel.distributed import replicate
+                counts = step(counts, replicate(mesh, gids_buf.copy()),
+                              replicate(mesh, sizes_buf.copy()),
+                              replicate(mesh, w_buf.copy()))
             else:
                 counts = _group_matmul_accum_w(
                     counts, jnp.asarray(gids_buf.copy()),
                     jnp.asarray(sizes_buf.copy()),
                     jnp.asarray(w_buf.copy()), rows_chunk, n_pad_rows, n,
                     nnz_chunk, n_limbs)
-    counts = np.rint(np.asarray(counts)).astype(np.int64)[:n, :n]
+    from ..parallel.distributed import fetch
+    counts = np.rint(fetch(counts)).astype(np.int64)[:n, :n]
     np.fill_diagonal(counts, index.sizes)
     return counts
 

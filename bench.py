@@ -78,6 +78,8 @@ def bench_align_tpu(corpus, prefix='tpu_align'):
     t0 = time.time()
     align_tpu.all2all_tpu(codes, pairs, index=idx)
     dt = time.time() - t0
+    # Unit: UNORDERED genome pairs (each = 2 directed parses), matching
+    # align_pairs_per_s and the README performance table.
     return {f'{prefix}_pairs_per_s': round(len(pairs) / dt, 1),
             f'{prefix}_seconds': round(dt, 3),
             f'{prefix}_index_seconds': round(t_index, 3),

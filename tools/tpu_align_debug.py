@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Per-position diagnostic for the TPU aligner on one directed pair.
 
-Runs the TPU kernel's dataflow (unjitted pieces) and the exact Python
-parse, then reports per-region disagreements: where the exact engine
-credits matches that the TPU raster misses, and vice versa.
+Runs the TPU engine's row core in debug mode and the exact Python parse,
+then reports per-block disagreements: where the exact engine credits
+matches that the TPU raster misses, and vice versa.
 
 Usage: JAX_PLATFORMS=cpu python tools/tpu_align_debug.py QNAME RNAME
 """
 import os
 import sys
+from functools import partial
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 sys.path.insert(0, '.')
@@ -17,7 +18,7 @@ import numpy as np
 
 from vclust_tpu.models.input import load_genomes
 from vclust_tpu.utils.data import example_path
-from vclust_tpu.models.align import _genome_codes, order_objects
+from vclust_tpu.models.align import _genome_codes
 from vclust_tpu.ops.lz_parse_py import (AlignParams, ReferenceIndex,
                                         parse_pair)
 from vclust_tpu.ops import align_tpu
@@ -37,8 +38,6 @@ def exact_position_credit(q_codes, r_codes, params):
     for a, (strand, factors) in zip(alns, factors_rec):
         cov[a.qstart:a.qend + 1] = True
         rseq = strands[strand]
-        # evaluate on each factor's diagonal across its span + the gap to
-        # the next factor (gap evaluated on prev diagonal, policy 'prev')
         for fi, (qs, qe, rs, re_) in enumerate(factors):
             d = rs - qs
             nxt = factors[fi + 1][0] if fi + 1 < len(factors) else qe + 1
@@ -46,7 +45,6 @@ def exact_position_credit(q_codes, r_codes, params):
                 j = i + d
                 if 0 <= j < len(rseq):
                     m[i] = (q_codes[i] == rseq[j]) and q_codes[i] < 4
-        # backward extension part of the alignment (before first factor)
         qs0 = factors[0][0]
         d0 = factors[0][2] - factors[0][0]
         for i in range(a.qstart, qs0):
@@ -54,6 +52,27 @@ def exact_position_credit(q_codes, r_codes, params):
             if 0 <= j < len(rseq):
                 m[i] = (q_codes[i] == rseq[j]) and q_codes[i] < 4
     return m, cov, alns, factors_rec
+
+
+def tpu_debug_pair(q_codes, r_codes, params):
+    """Debug dict of the TPU row core for one directed pair (K=1)."""
+    import jax
+    import jax.numpy as jnp
+    idx = align_tpu.GenomeIndexTPU([np.asarray(q_codes, np.int8),
+                                    np.asarray(r_codes, np.int8)])
+    Lq = align_tpu._pad_bucket(len(q_codes))
+    Lr = align_tpu._pad_bucket(len(r_codes))
+    bq, br = idx.bucket[Lq], idx.bucket[Lr]
+    qrow, rrow = idx.row[0], idx.row[1]
+    core = jax.jit(partial(
+        align_tpu._row_core, Lq=Lq, Lr=Lr, K=1, mqd=params.mqd,
+        mrd=params.mrd, reg=params.reg, pack_bits=br['pack_bits'],
+        debug=True))
+    return core(br['sv_f'][rrow], br['pk1_f'][rrow], br['pk2_f'][rrow],
+                br['sv_r'][rrow], br['pk1_r'][rrow], br['pk2_r'][rrow],
+                br['r2dov'][rrow], jnp.int32(len(r_codes)),
+                bq['fwd'][qrow:qrow + 1], bq['qsv'][qrow:qrow + 1],
+                jnp.array([len(q_codes)], np.int32))
 
 
 def main():
@@ -71,55 +90,31 @@ def main():
           f'sum_alnlen={sum(a.alnlen for a in alns)}, '
           f'raster credit={em.sum()}')
 
-    # TPU path intermediates
-    import jax.numpy as jnp
-    from vclust_tpu.core.seq import revcomp_codes
-    Lq = align_tpu._pad_bucket(len(q_codes))
-    Lr = align_tpu._pad_bucket(len(r_codes))
-    qf = np.full(Lq, 4, np.int8); qf[:len(q_codes)] = q_codes
-    rf = np.full(Lr, 4, np.int8); rf[:len(r_codes)] = r_codes
-    rr = np.full(Lr, 4, np.int8); rr[:len(r_codes)] = revcomp_codes(r_codes)
-    qv, _, _, _, _ = align_tpu._index_block(
-        jnp.asarray(qf[None]), jnp.asarray(qf[None]), align_tpu.SEED_K)
-    _, sv_f, spos_f, _, _ = align_tpu._index_block(
-        jnp.asarray(rf[None]), jnp.asarray(rf[None]), align_tpu.SEED_K)
-    _, _, _, sv_r, spos_r = align_tpu._index_block(
-        jnp.asarray(rf[None]), jnp.asarray(rr[None]), align_tpu.SEED_K)
-
-    n, sm, sl = align_tpu._pair_direction(
-        jnp.asarray(qf), qv[0], jnp.int32(len(q_codes)),
-        jnp.asarray(rf), jnp.asarray(rr),
-        sv_f[0], spos_f[0], sv_r[0], spos_r[0], jnp.int32(len(r_codes)),
-        Lq=Lq, Lr=Lr, mqd=params.mqd, mrd=params.mrd, reg=params.reg)
-    print(f'tpu:   n_alns={int(n)}, sum_match={int(sm)}, sum_alnlen={int(sl)}')
-
-    dbg = align_tpu._pair_direction_debug(
-        jnp.asarray(qf), qv[0], jnp.int32(len(q_codes)),
-        jnp.asarray(rf), jnp.asarray(rr),
-        sv_f[0], spos_f[0], sv_r[0], spos_r[0], jnp.int32(len(r_codes)),
-        Lq=Lq, Lr=Lr, mqd=params.mqd, mrd=params.mrd, reg=params.reg)
-    tm = np.asarray(dbg['m'])[:len(q_codes)]
-    tacc = np.asarray(dbg['acc_cov'])[:len(q_codes)]
-    D = np.asarray(dbg['D'])
-    S = np.asarray(dbg['S'])
-    A = np.asarray(dbg['A'])
-    vb = np.asarray(dbg['vb'])
+    dbg = tpu_debug_pair(q_codes, r_codes, params)
+    nq = len(q_codes)
+    tm = np.asarray(dbg['m'][0])[:nq]
+    tacc = np.asarray(dbg['acc_cov'][0])[:nq]
+    D = np.asarray(dbg['D'][0])
+    S = np.asarray(dbg['S'][0])
+    A = np.asarray(dbg['A'][0])
+    vb = np.asarray(dbg['vb'][0])
+    print(f"tpu:   n_alns={int(dbg['n_alns'][0])}, "
+          f"sum_match={int(dbg['sum_match'][0])}, "
+          f"sum_alnlen={int(dbg['sum_alnlen'][0])}")
 
     tmc = tm & tacc
     print(f'tpu raster matches (in accepted regions): {tmc.sum()}')
-    # blockwise comparison table where they disagree
-    B = align_tpu.BLOCK
-    nb = len(q_codes) // B + 1
-    print('block qlo    exact_m tpu_m  exact_cov tpu_cov  D      S A votes')
+    F = align_tpu.FINE
+    nb = nq // F + 1
+    print('block  qlo   exact_m tpu_m  exact_cov tpu_cov  D      S A votes')
     for b in range(nb):
-        lo, hi = b * B, min((b + 1) * B, len(q_codes))
+        lo, hi = b * F, min((b + 1) * F, nq)
         e, t = em[lo:hi].sum(), tmc[lo:hi].sum()
         if abs(int(e) - int(t)) > 8:
             print(f'{b:5d} {lo:6d} {e:7d} {t:6d} {ecov[lo:hi].sum():9d} '
                   f'{tacc[lo:hi].sum():7d}  {D[b]:6d} {int(S[b])} '
                   f'{int(A[b])} {vb[b]:5d}')
-    # exact factor diags for reference around the worst blocks
-    print('\nexact alignments (q spans, strand, first-factor diag):')
+    print('\nexact alignments (q spans, strand, factor diags):')
     for a, (strand, factors) in zip(alns, factors_rec):
         if a.alnlen >= 200:
             print(f'  q[{a.qstart}:{a.qend}] strand={a.strand} '

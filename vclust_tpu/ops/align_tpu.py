@@ -4,31 +4,43 @@ A from-scratch, massively parallel reformulation of the LZ-ANI alignment
 stage (reference contract vclust.py:1058-1181; measure semantics
 SURVEY.md section 2.5.3), designed for the TPU's vector units rather than
 a translation of the sequential greedy parse. The per-pair work is a fixed
-dataflow of gathers, sorts and scans over static shapes — no data-dependent
-control flow, so XLA compiles one program per length-bucket combination and
-thousands of directed pairs run per dispatch:
+dataflow of sorts, scans and full-lane row gathers over static shapes — no
+data-dependent control flow, so XLA compiles one program per length-bucket
+combination and hundreds of directed pairs run per dispatch.
 
-  1. **Per-genome device index (once, not per pair)**: seed-k-mer value per
-     position, plus per-strand (value-sorted values, positions) arrays for
-     the reference role. Reused across every pair the genome joins.
-  2. **Seed votes**: every STRIDE-th query position looks up its seed k-mer
-     in the reference's sorted array (vectorized searchsorted + bounded
-     take) and emits up to CANDS candidate diagonals per strand.
-  3. **Block diagonal clustering**: votes are grouped into query blocks of
-     BLOCK positions; per block, the densest diagonal cluster (votes within
-     GAP_DIAG of each other, found by a sort + windowed rank count) elects
-     the block's (strand, diagonal). This is the vectorized counterpart of
-     the greedy parse's anchor selection + seed-window linking.
-  4. **Match evaluation**: every position compares its query base against
-     the reference base on its block's diagonal; where consecutive blocks
-     elect different diagonals, the optimal single switch point inside the
-     block is found by a prefix-sum argmax (the vectorized counterpart of
-     factor linking around an indel).
-  5. **Region segmentation**: matches are cut into regions at query gaps
-     > mqd and at block-level diagonal jumps > mrd / strand changes (the
-     factor-linking limits); regions are trimmed to their outermost matches
-     and dropped when shorter than `reg`. Aggregates (n_alns, sum_match,
-     sum_alnlen) come from cumulative-scan identities, no scatters.
+The round-3 redesign is driven by measured v5e primitive costs
+(tools/microbench_r3c/r3d.py): random element gathers cost ~10 ns/elem,
+`lax.sort` ~0.7-1.1 ns/elem, native cumsum/cummax ~0.2 ns/elem, full-lane
+row gathers ~0.02 ns/elem, and elementwise chains fuse to ~free. The
+round-2 engine spent ~90% of its time in element gathers; this engine has
+none on the per-pair path:
+
+  1. **K-query reference-amortized sort join.** Each dispatch row holds
+     ONE reference and K queries of the same length bucket. Per strand,
+     reference seed entries (8-mer value, position, previous-occurrence
+     position — packed into one uint32 as value<<16|pos, exploiting that
+     positions ascend within equal-value runs of the presorted reference
+     arrays) are sorted together with all K queries' strided seed values.
+     A single native `cummax` over the packed payloads then hands every
+     query slot the last-2 reference occurrences of its value ("newest two
+     occurrences", the round-2 CANDS=2 semantics) with no gather and no
+     per-pair re-sort of the reference side. A second sort restores query
+     order and yields candidate diagonals ("votes").
+  2. **Two-scale block diagonal election** (as in round 2): per fine block
+     the densest diagonal cluster wins (sorted votes + shifted-window rank
+     counts); coarse blocks rescue sparse-vote regions. Argmax payloads are
+     carried by max-packing (count<<20 | inverted-value), not gathers.
+  3. **Match evaluation via overlapped window rows.** The reference is
+     pre-tiled into 256-wide rows overlapping by 128 (both strands); each
+     fine block row-gathers its window (full-lane gathers are ~free) and a
+     16-way + 8-way where-tree selects the 32-wide phase slice. Where
+     consecutive blocks elect different diagonals, the optimal switch point
+     is found by a prefix-sum argmax (max-packed).
+  4. **Region segmentation without gathers**: seed/anchor runs and the
+     approximate-extension window rule become bit-dilation shift chains;
+     segment starts/ends, acceptance (>= reg span with an opening anchor)
+     and per-segment coverage come from 8 native cummax scans (forward
+     ffill + reverse backfill with packed accept bits).
 
 Semantics vs the exact engines (`native`/`py`, which are bit-identical to
 each other): same measures up to block-granularity approximations of
@@ -51,30 +63,35 @@ from ..utils.jaxcache import enable_compilation_cache
 
 enable_compilation_cache()
 
-SEED_K = 9          # seed length for diagonal votes (TPU path)
-STRIDE = 1          # query positions between consecutive seed lookups
+SEED_K = 8          # seed length for diagonal votes (TPU path); 8 keeps
+#                     (value, position) packs inside one uint32 for
+#                     buckets up to 65536 (larger buckets pack in int64)
+STRIDE = 2          # query positions between consecutive seed lookups
 CANDS = 2           # candidate reference positions kept per seed (the
 #                     newest two occurrences; the block election makes
 #                     repeat resolution robust to the small candidate set)
+K_QUERIES = 8       # queries sharing one reference per dispatch row (the
+#                     reference side of the join is amortized K ways)
 BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster
 SMAX = 15           # cluster-count saturation (ranking needs no more)
-MIN_VOTES = 5       # votes needed for a block to elect a diagonal
+MIN_VOTES_F = 3     # votes needed for a fine block to elect a diagonal
+MIN_VOTES_C = 5     # votes needed for a coarse block to elect a diagonal
+EXT_ITERS = 3       # neighbor-diagonal propagation passes (the raster
+#                     analog of factor extension across block boundaries:
+#                     a block may adopt an adjacent block's diagonal when
+#                     it out-matches its own election)
+EXT_MIN = 17        # matches (of FINE) a propagated diagonal must reach —
+#                     the approximate-extension density bound (>= 53%,
+#                     aw/am: <= 7 mismatches per 15) at block granularity
+EXT_MARGIN = 4      # propagated diagonal must beat an elected one by this
 MSL = 7             # consecutive matches forming a seed run (chains)
 MAL = 11            # consecutive matches able to OPEN a region
 AW = 39             # max distance from a seed run for a match to chain
 AW_WIN = 15         # approximate-extension window length (density rule)
 AM = 7              # max mismatches tolerated inside the window
-BATCH = 16          # directed pairs per vmapped chunk at the largest
-#                     buckets; small buckets batch more (see _batch_for) so
-#                     dispatch overhead amortizes
 
-
-def _batch_for(Lq: int, Lr: int) -> int:
-    """Pairs per dispatch: ~2M padded query bases per chunk, so device
-    work per dispatch stays >> launch overhead at every bucket size."""
-    return max(16, min(512, (1 << 21) // max(Lq, Lr)))
 BIG = np.int32(2 ** 30)
 
 _BUCKETS = sorted({4096 << i for i in range(8)}
@@ -103,296 +120,510 @@ def kmer_vals(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(bad, -1, vals)
 
 
-def _ffill_idx(flag: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
+# --------------------------------------------------------------------------
+# elementwise helpers (static shifts / dilations along the last axis)
+# --------------------------------------------------------------------------
+
+def _sh_r(x, k, fill):
+    """x shifted right by k along the last axis (out[i] = x[i-k])."""
+    if k == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
+def _sh_l(x, k, fill):
+    if k == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
+    return jnp.concatenate([x[..., k:], pad], axis=-1)
+
+
+def _dilate_back(x, n):
+    """OR of x shifted right by 0..n (bool): any true in [i-n, i]."""
+    y = x
+    p = 1
+    while p * 2 <= n + 1:
+        y = y | _sh_r(y, p, False)
+        p *= 2
+    if p <= n:
+        y = y | _sh_r(y, n + 1 - p, False)
+    return y
+
+
+def _dilate_fwd(x, n):
+    y = x
+    p = 1
+    while p * 2 <= n + 1:
+        y = y | _sh_l(y, p, False)
+        p *= 2
+    if p <= n:
+        y = y | _sh_l(y, n + 1 - p, False)
+    return y
+
+
+def _run_positions(m, run_len):
+    """Positions inside a run of >= run_len consecutive matches."""
+    start = m
+    for j in range(1, run_len):
+        start = start & _sh_l(m, j, False)
+    return _dilate_back(start, run_len - 1)
+
+
+def _win_sum(m_i32, n):
+    """Trailing-window sum over the last n positions: out[i] =
+    sum(m[i-n+1 .. i]). Built from log-decomposed shifted partial sums."""
+    sums = {1: m_i32}
+    p = 1
+    while p * 2 <= n:
+        sums[p * 2] = sums[p] + _sh_r(sums[p], p, jnp.int32(0))
+        p *= 2
+    out = None
+    off = 0
+    while n:
+        q = 1 << (n.bit_length() - 1)
+        part = _sh_r(sums[q], off, jnp.int32(0))
+        out = part if out is None else out + part
+        off += q
+        n -= q
+    return out
+
+
+def _ffill_idx(flag, iota):
     """Index of the most recent True at or before each position (-1 if
-    none)."""
-    return jax.lax.cummax(jnp.where(flag, iota, -1))
+    none), along the last axis."""
+    x = jnp.where(flag, iota, -1)
+    return jax.lax.cummax(x, axis=x.ndim - 1)
 
 
-def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
-    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+def _rev_next_idx(flag, iota, none_val):
+    """Smallest index >= i with flag (none_val if none)."""
+    x = jnp.where(flag, -iota, -BIG)
+    neg = jax.lax.cummax(x, axis=x.ndim - 1, reverse=True)
+    return jnp.where(neg > -BIG, -neg, none_val)
 
 
-def _pair_core(q_fwd, qv, qlen, r_fwd, r_rc,
-               sv_f, spos_f, sv_r, spos_r, rlen,
-               *, Lq, Lr, mqd, mrd, reg, debug=False):
-    """Aggregates (n_alns, sum_match, sum_alnlen) for one directed pair."""
+# --------------------------------------------------------------------------
+# the per-row core: 1 reference x K queries
+# --------------------------------------------------------------------------
+
+def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
+                  pack_bits):
+    """Candidate diagonals for all K queries against one reference strand.
+
+    sv: (Lr,) value-sorted reference seed values (BIG where invalid);
+    pk1/pk2: packed (value, pos) / (value, prev-pos) arrays aligned to sv;
+    qsv_flat: (K*Ls,) strided query seed values in query order (-1 invalid);
+    qslot: (K*Ls,) flat query slot ids. Returns (K, Ls, 2) int32 diagonal
+    codes (BIG where invalid), offset added for the strand.
+    """
+    bigkey = jnp.int32(2 ** 30)     # even → parses as a non-query slot
+    key_ref = jnp.where(sv < BIG, sv * 2, bigkey)
+    # Invalid query entries keep an ODD sentinel: every query slot must
+    # stay a query slot so the post-sort [:K*Ls] compaction slice aligns.
+    key_q = jnp.where(qsv_flat >= 0, qsv_flat * 2 + 1, bigkey + 1)
+    keys = jnp.concatenate([key_ref, key_q])
+    if pack_bits == 32:
+        zq = jnp.zeros(K * Ls, jnp.uint32)
+        pay1 = jnp.concatenate([pk1, zq])
+        pay2 = jnp.concatenate([pk2, zq])
+        pay3 = jnp.concatenate([jnp.full(Lr, BIG, jnp.int32), qslot])
+        sk, s1, s2, s3 = jax.lax.sort((keys, pay1, pay2, pay3), num_keys=1)
+        c1 = jax.lax.cummax(s1)
+        c2 = jax.lax.cummax(s2)
+        val = (sk >> 1)
+        is_q = (sk & 1) == 1
+        qpos = (s3 % Ls) * STRIDE
+
+        def cand(c):
+            cv = (c >> 16).astype(jnp.int32)
+            cp = (c & 0xFFFF).astype(jnp.int32)
+            ok = is_q & (cv == val) & (c > 0)
+            d = cp - qpos + Lq + offset
+            return jnp.where(ok, d, BIG)
+
+        d1, d2 = cand(c1), cand(c2)
+    else:
+        zq = jnp.zeros(K * Ls, jnp.int64)
+        pay = jnp.concatenate([pk1, zq])    # pk1 is the int64 triple pack
+        pay3 = jnp.concatenate([jnp.full(Lr, BIG, jnp.int32), qslot])
+        sk, s1, s3 = jax.lax.sort((keys, pay, pay3), num_keys=1)
+        c = jax.lax.cummax(s1)
+        val = (sk >> 1)
+        is_q = (sk & 1) == 1
+        qpos = (s3 % Ls) * STRIDE
+        cv = (c >> 36).astype(jnp.int32)
+        cp = ((c >> 18) & 0x3FFFF).astype(jnp.int32)
+        cq = (c & 0x3FFFF).astype(jnp.int32)
+        ok = is_q & (cv == val) & (c > 0)
+        d1 = jnp.where(ok, cp - 1 - qpos + Lq + offset, BIG)
+        d2 = jnp.where(ok & (cq > 0), cq - 1 - qpos + Lq + offset, BIG)
+    k2 = jnp.where(is_q, s3, BIG)
+    _, v1, v2 = jax.lax.sort((k2, d1, d2), num_keys=1)
+    return jnp.stack([v1[:K * Ls], v2[:K * Ls]], axis=-1).reshape(K, Ls, 2)
+
+
+def _elect(sd, cstride, min_votes, *, DSPAN, Lq):
+    """Densest-cluster election on per-block sorted votes sd (rows, vpb).
+
+    Counting "votes within GAP_DIAG above mine" uses static shifted
+    compares on the sorted row; counts saturate at SMAX per counted
+    element, so the coarse scale counts a cstride-subsample of the sorted
+    row to keep large clusters distinguishable at the same cost. The
+    cluster representative is carried by max-packing (no argmax gathers).
+    Returns (assigned, strand, diag, vb_exact, medv) per row.
+    """
+    sds = sd[:, ::cstride]
+    w = sds.shape[1]
+    smax = min(SMAX, w - 1)
+    pad = jnp.full(sds.shape[:-1] + (smax,), BIG, jnp.int32)
+    sdp = jnp.concatenate([sds, pad], axis=-1)
+    cnt = jnp.ones(sds.shape, jnp.int32)
+    cnt_eq = jnp.ones(sds.shape, jnp.int32)
+    for s in range(1, smax + 1):
+        cnt = cnt + (sdp[:, s:w + s] - sds <= GAP_DIAG)
+        cnt_eq = cnt_eq + (sdp[:, s:w + s] == sds)
+    cnt = jnp.where(sds < BIG, cnt, 0)
+    cnt_eq = jnp.where(sds < BIG, cnt_eq, 0)
+    # Max-pack (count, inverted value): the winner is the largest cluster,
+    # ties broken toward the smallest start value (matches argmax-first).
+    VMASK = (1 << 22) - 1
+    packed = (cnt << 22) | (VMASK - jnp.minimum(sds, VMASK))
+    best = jnp.max(packed, axis=-1)
+    vb = best >> 22
+    start = VMASK - (best & VMASK)
+    # Cluster representative: the MODE of the cluster window — the match
+    # evaluation needs the diagonal exactly, and the most frequent exact
+    # value is robust to spurious votes inside the window (a range
+    # midpoint or mean would drift off-diagonal and zero the block).
+    inb = (sds >= start[:, None]) & (sds <= start[:, None] + GAP_DIAG)
+    packed_m = jnp.where(inb, (cnt_eq << 22)
+                         | (VMASK - jnp.minimum(sds, VMASK)), -1)
+    bestm = jnp.max(packed_m, axis=-1)
+    medv = jnp.where(vb > 0, VMASK - (bestm & VMASK), BIG)
+    # Exact (unsaturated) vote count of the elected cluster.
+    vb_x = jnp.sum((jnp.abs(sd - medv[:, None]) <= GAP_DIAG)
+                   .astype(jnp.int32), axis=-1)
+    vb_x = jnp.where(medv < BIG, vb_x, 0)
+    strand = medv >= DSPAN
+    diag = jnp.where(strand, medv - DSPAN, medv) - Lq
+    return vb_x >= min_votes, strand, diag, vb_x, medv
+
+
+def _window_rows(r2dov, starts, strand, NRT):
+    """Reference bases on the elected diagonals, one 256-wide overlapped
+    row per fine block: full-lane row gather + 16x8 where-tree phase
+    select. starts: (rows,) window starts clipped to [-128, Lr-1] (row 0
+    per strand is an all-pad lead row, so slightly-negative windows read
+    pad bases that can never match); NRT = rows per strand."""
+    row = (starts + 128) >> 7              # in [0, NRT)
+    phase = starts + 128 - (row << 7)      # in [0, 128)
+    row = row + jnp.where(strand, NRT, 0)
+    cat = r2dov[row]                        # (rows, 256) int8 row gather
+    ph3 = phase >> 3
+    ph0 = phase & 7
+    sel = jnp.zeros(cat.shape[:-1] + (FINE + 8,), cat.dtype)
+    for s in range(16):
+        sel = jnp.where((ph3 == s)[..., None], cat[..., 8 * s:8 * s + FINE + 8],
+                        sel)
+    out = jnp.zeros(cat.shape[:-1] + (FINE,), cat.dtype)
+    for s in range(8):
+        out = jnp.where((ph0 == s)[..., None], sel[..., s:s + FINE], out)
+    return out
+
+
+def _eval_on(q_fwd, r2dov, D, S, okb, rlen, qlens, *, K, Lq, Lr, NBF, NRT):
+    """Per-position match flags of each query against the reference bases
+    on its fine block's elected diagonal."""
+    iota = jnp.arange(Lq, dtype=jnp.int32)
+    b0 = jnp.arange(NBF, dtype=jnp.int32) * FINE
+    starts = b0[None, :] + D                       # (K, NBF) window starts
+    starts_c = jnp.clip(starts, -128, Lr - 1)
+    rb = _window_rows(r2dov, starts_c.reshape(-1), S.reshape(-1), NRT)
+    rb = rb.reshape(K, Lq)
+    Dq = jnp.repeat(D, FINE, axis=-1)
+    # Blocks clipped by more than the pad row are fully out of range; their
+    # positions are masked by the true-rj bounds below anyway.
+    okq = jnp.repeat(okb & (starts == starts_c), FINE, axis=-1)
+    rj = iota[None, :] + Dq
+    ok = okq & (rj >= 0) & (rj < rlen) & (iota[None, :] < qlens[:, None])
+    return ok & (q_fwd == rb) & (q_fwd < 4)
+
+
+import os as _os
+_ABLATE = _os.environ.get('VCLUST_ALIGN_ABLATE', '')   # stage profiling
+
+
+def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
+              q_fwd, qsv, qlens, *, Lq, Lr, K, mqd, mrd, reg, pack_bits,
+              debug=False):
+    """Aggregates (n_alns, sum_match, sum_alnlen) for K directed pairs
+    sharing one reference."""
     Ls = Lq // STRIDE
     DSPAN = Lq + Lr + 64
+    NBF = Lq // FINE
+    NBC = Lq // BLOCK
+    RATIO = BLOCK // FINE
+    NRT = Lr // 128 + 1            # window rows per strand (incl. lead pad)
     iota = jnp.arange(Lq, dtype=jnp.int32)
 
-    # --- 1. seed votes via sort-merge join -------------------------------
-    # Binary search (searchsorted) is an iterated gather and runs ~100x
-    # slower than a sort on TPU, so query seeds are joined to the
-    # reference's presorted seed array by a merge: sort the concatenation
-    # (reference entries before query entries on equal values), read off
-    # each query entry's reference rank with a cumulative sum, and gather
-    # the top CANDS candidate positions directly from the presorted
-    # reference arrays.
-    qpos_s = jnp.arange(Ls, dtype=jnp.int32) * STRIDE
-    qs = qv[::STRIDE]
-    qs_ok = (qs >= 0) & (qpos_s < qlen)
-    qs_key = jnp.where(qs_ok, qs, -2)   # -2 matches nothing
-
-    def strand_votes(sv, spos, offset):
-        # Cap sentinel values so doubling cannot overflow int32.
-        keys = jnp.concatenate(
-            [jnp.minimum(sv, BIG // 4) * 2, qs_key * 2 + 1])
-        payload = jnp.concatenate(
-            [jnp.arange(Lr, dtype=jnp.int32),
-             Lr + jnp.arange(Ls, dtype=jnp.int32)])
-        skeys, spayload = jax.lax.sort((keys, payload), num_keys=1)
-        is_q = spayload >= Lr
-        rank = jnp.cumsum((~is_q).astype(jnp.int32))   # refs at or before
-        # Compact query slots back to seed order: one more sort.
-        key2 = jnp.where(is_q, spayload - Lr, BIG)
-        _, rank_q = jax.lax.sort((key2, rank), num_keys=1)
-        rank_q = rank_q[:Ls]
-        cands = []
-        for c in range(CANDS):
-            idx = rank_q - 1 - c
-            okc = idx >= 0
-            idx_c = jnp.clip(idx, 0, Lr - 1)
-            okc &= sv[idx_c] == qs_key
-            rpos = spos[idx_c]
-            okc &= (rpos < rlen) & qs_ok
-            cands.append(jnp.where(okc, rpos - qpos_s + Lq + offset, BIG))
-        return jnp.stack(cands, axis=1)
-
+    # --- 1. seed votes: reference-amortized sort join -------------------
+    spos_grid = jnp.arange(Ls, dtype=jnp.int32)[None, :] * STRIDE
+    qs_ok = (qsv >= 0) & (spos_grid < qlens[:, None])
+    qsv_flat = jnp.where(qs_ok, qsv, -1).reshape(-1)
+    qslot = jnp.arange(K * Ls, dtype=jnp.int32)
+    sv_args = dict(Lr=Lr, Ls=Ls, K=K, Lq=Lq, pack_bits=pack_bits)
     votes = jnp.concatenate(
-        [strand_votes(sv_f, spos_f, 0),
-         strand_votes(sv_r, spos_r, DSPAN)], axis=1)   # (Ls, 2*CANDS)
+        [_strand_votes(sv_f, pk1_f, pk2_f, qsv_flat, qslot, offset=0,
+                       **sv_args),
+         _strand_votes(sv_r, pk1_r, pk2_r, qsv_flat, qslot, offset=DSPAN,
+                       **sv_args)], axis=-1)       # (K, Ls, 4)
+    if _ABLATE == 'join':
+        s = jnp.sum(jnp.where(votes < BIG, 1, 0), axis=(1, 2))
+        return jnp.stack([s, s, s], axis=-1)
 
     # --- 2. two-scale block diagonal election ---------------------------
-    # Coarse blocks (BLOCK wide) are robust on sparse votes; fine blocks
-    # (FINE wide) resolve rearrangement boundaries and dense indels; a
-    # fine block without a strong enough cluster inherits its coarse
-    # block's choice.
-    def elect(nb, cstride=1):
-        # Densest-cluster election per block. Counting "votes within
-        # GAP_DIAG above mine" uses static shifted compares on the sorted
-        # row (no binary search); counts saturate at SMAX per counted
-        # element, so the coarse scale counts a cstride-subsample of the
-        # sorted row to keep large clusters distinguishable at the same
-        # cost.
-        vpb = (Lq // nb // STRIDE) * 2 * CANDS
-        sd = jnp.sort(votes.reshape(nb, vpb), axis=1)
-        sds = sd[:, ::cstride]
-        w = sds.shape[1]
-        smax = min(SMAX, w - 1)
-        pad = jnp.full((nb, smax), BIG, jnp.int32)
-        sdp = jnp.concatenate([sds, pad], axis=1)
-        cnt = jnp.ones((nb, w), jnp.int32)
-        for s in range(1, smax + 1):
-            cnt = cnt + (sdp[:, s:w + s] - sds <= GAP_DIAG)
-        cnt = jnp.where(sds < BIG, cnt, 0)
-        j0 = jnp.argmax(cnt, axis=1)
-        vb = jnp.take_along_axis(cnt, j0[:, None], 1)[:, 0]
-        med_idx = jnp.clip(j0 + vb // 2, 0, w - 1)
-        medv = jnp.take_along_axis(sds, med_idx[:, None], 1)[:, 0]
-        strand = medv >= DSPAN
-        diag = jnp.where(strand, medv - DSPAN, medv) - Lq
-        # Exact (unsaturated) vote count of the elected cluster, so
-        # MIN_VOTES thresholds real votes regardless of cstride/SMAX.
-        # A block with no valid votes elects the BIG sentinel; zero it.
-        vb_x = jnp.sum((jnp.abs(sd - medv[:, None]) <= GAP_DIAG)
-                       .astype(jnp.int32), axis=1)
-        vb_x = jnp.where(medv < BIG, vb_x, 0)
-        return vb_x, strand, diag, medv, sd
-
-    NBC = Lq // BLOCK
-    NBF = Lq // FINE
-    RATIO = BLOCK // FINE
-    vb_c, S_c, D_c, medv_c, _ = elect(NBC, cstride=4)
-    vb_f, S_f, D_f, _, sd_f = elect(NBF)
-    A_c = vb_c >= MIN_VOTES
+    vpb_f = (FINE // STRIDE) * 2 * CANDS
+    sd_f = jnp.sort(votes.reshape(K * NBF, vpb_f), axis=-1)
+    A_f, S_f, D_f, vb_f, _ = _elect(sd_f, 1, MIN_VOTES_F, DSPAN=DSPAN,
+                                    Lq=Lq)
+    sd_c = jnp.sort(votes.reshape(K * NBC, vpb_f * RATIO), axis=-1)
+    A_c, S_c, D_c, vb_c, medv_c = _elect(sd_c, 4, MIN_VOTES_C, DSPAN=DSPAN,
+                                         Lq=Lq)
     # Fine override needs to strictly beat the fine-block vote support for
     # the coarse diagonal; otherwise repeats (which support two clusters
     # equally) would be resolved against the surrounding context.
-    center = jnp.repeat(medv_c, RATIO)
-    sup_c = jnp.sum(
-        (jnp.abs(sd_f - center[:, None]) <= GAP_DIAG).astype(jnp.int32),
-        axis=1)
-    A_cf = jnp.repeat(A_c, RATIO)
-    use_f = (vb_f >= MIN_VOTES) & (~A_cf | (vb_f > sup_c))
-    A = use_f | A_cf
-    S = jnp.where(use_f, S_f, jnp.repeat(S_c, RATIO))
-    D = jnp.where(use_f, D_f, jnp.repeat(D_c, RATIO))
-    vb = jnp.where(use_f, vb_f, jnp.repeat(vb_c, RATIO))
+    center = jnp.repeat(medv_c.reshape(K, NBC), RATIO, axis=-1).reshape(-1)
+    sup_c = jnp.sum((jnp.abs(sd_f - center[:, None]) <= GAP_DIAG)
+                    .astype(jnp.int32), axis=-1)
+    A_cf = jnp.repeat(A_c.reshape(K, NBC), RATIO, axis=-1).reshape(-1)
+    use_f = A_f & (~A_cf | (vb_f > sup_c))
+    rep = lambda x: jnp.repeat(x.reshape(K, NBC), RATIO, axis=-1)
+    A = (use_f | A_cf).reshape(K, NBF)
+    S = jnp.where(use_f.reshape(K, NBF), S_f.reshape(K, NBF), rep(S_c))
+    D = jnp.where(use_f.reshape(K, NBF), D_f.reshape(K, NBF), rep(D_c))
+    vb = jnp.where(use_f.reshape(K, NBF), vb_f.reshape(K, NBF), rep(vb_c))
+    if _ABLATE == 'elect':
+        s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(vb, axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
 
-    Ap = jnp.concatenate([jnp.zeros(1, jnp.bool_), A[:-1]])
-    Sp = jnp.concatenate([jnp.zeros(1, jnp.bool_), S[:-1]])
-    Dp = jnp.concatenate([jnp.zeros(1, jnp.int32), D[:-1]])
+    # --- 2b. neighbor-diagonal propagation (consumption-aware extension).
+    # The greedy parse extends factors across block boundaries without
+    # fresh seeds; the raster analog lets each block adopt an adjacent
+    # block's elected diagonal when evaluating it beats the block's own
+    # election by a clear margin. This recovers sub-block islands whose
+    # own votes are too sparse to elect (mosaic rearrangements), while the
+    # density bound (EXT_MIN ~ the aw/am rule) keeps random terrain out;
+    # candidates come only from neighbor continuity, never from secondary
+    # vote clusters, so it cannot introduce new homology.
+    ev = dict(K=K, Lq=Lq, Lr=Lr, NBF=NBF, NRT=NRT)
+
+    def block_counts(Db, Sb, Ab):
+        mm = _eval_on(q_fwd, r2dov, Db, Sb, Ab, rlen, qlens, **ev)
+        return jnp.sum(mm.reshape(K, NBF, FINE).astype(jnp.int32), axis=-1)
+
+    cnt_cur = jnp.where(A, block_counts(D, S, A), -1)
+    for _ in range(EXT_ITERS):
+        for shf, fill in ((_sh_r, jnp.int32(0)), (_sh_l, jnp.int32(0))):
+            Dc = shf(D, 1, fill)
+            Sc = shf(S, 1, False)
+            Ac = shf(A, 1, False)
+            cntc = block_counts(Dc, Sc, Ac)
+            better = Ac & (cntc >= EXT_MIN) & (cntc > cnt_cur + EXT_MARGIN)
+            D = jnp.where(better, Dc, D)
+            S = jnp.where(better, Sc, S)
+            A = A | better
+            cnt_cur = jnp.where(better, cntc, cnt_cur)
+
+    Ap = _sh_r(A, 1, False)
+    Sp = _sh_r(S, 1, False)
+    Dp = _sh_r(D, 1, jnp.int32(0))
 
     # --- 3. per-position match flags with single-switch refinement ------
-    def eval_on(D_b, S_b, ok_b):
-        Dq = jnp.repeat(D_b, FINE)
-        Sq = jnp.repeat(S_b, FINE)
-        okq = jnp.repeat(ok_b, FINE)
-        rj = iota + Dq
-        ok = okq & (rj >= 0) & (rj < rlen) & (iota < qlen)
-        rj_c = jnp.clip(rj, 0, Lr - 1)
-        rb = jnp.where(Sq, r_rc[rj_c], r_fwd[rj_c])
-        return ok & (q_fwd == rb) & (q_fwd < 4)
-
+    m1 = _eval_on(q_fwd, r2dov, D, S, A, rlen, qlens, **ev)
     switchable = A & Ap & ((D != Dp) | (S != Sp))
-    m1 = eval_on(D, S, A)
-    m0 = eval_on(Dp, Sp, switchable)
-    m0b = m0.reshape(NBF, FINE).astype(jnp.int32)
-    m1b = m1.reshape(NBF, FINE).astype(jnp.int32)
-    g = jnp.cumsum(m0b - m1b, axis=1)
-    gpad = jnp.concatenate([jnp.zeros((NBF, 1), jnp.int32), g], axis=1)
-    tstar = jnp.argmax(gpad, axis=1).astype(jnp.int32)     # 0..FINE
-    tstar = jnp.where(switchable, tstar, 0)
+    m0 = _eval_on(q_fwd, r2dov, Dp, Sp, switchable, rlen, qlens, **ev)
+    m0b = m0.reshape(K * NBF, FINE).astype(jnp.int32)
+    m1b = m1.reshape(K * NBF, FINE).astype(jnp.int32)
+    g = jnp.cumsum(m0b - m1b, axis=-1)
+    gpad = jnp.concatenate(
+        [jnp.zeros((K * NBF, 1), jnp.int32), g], axis=-1)
+    # Max-pack argmax: first position of the maximum prefix gain (offset
+    # keeps the packed gain non-negative so the bit-OR stays monotone).
+    tpack = ((gpad + FINE) << 8) | (255 - jnp.arange(FINE + 1,
+                                                     dtype=jnp.int32))
+    tstar = 255 - (jnp.max(tpack, axis=-1) & 255)
+    tstar = jnp.where(switchable.reshape(-1), tstar, 0)
     posb = jnp.arange(FINE, dtype=jnp.int32)[None, :]
     mb = jnp.where(posb < tstar[:, None], m0b, m1b)
-    m = mb.reshape(Lq).astype(jnp.bool_)
+    m = mb.reshape(K, Lq).astype(jnp.bool_)
+    if _ABLATE == 'eval':
+        s = jnp.sum(m.astype(jnp.int32), axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
 
     # --- 4. region breaks ------------------------------------------------
     # Unlinked adjacent assigned blocks break at the switch point (the
     # factor-linking limits: same strand, |diagonal jump| <= mrd).
     linked = A & Ap & (S == Sp) & (jnp.abs(D - Dp) <= mrd)
-    brk_blk = (A & Ap & ~linked
-               & (jnp.arange(NBF, dtype=jnp.int32) > 0))
+    first_blk = jnp.concatenate(
+        [jnp.ones((K, 1), jnp.bool_), jnp.zeros((K, NBF - 1), jnp.bool_)],
+        axis=-1)
+    brk_blk = (A & Ap & ~linked & ~first_blk).reshape(-1)
     Bb = brk_blk[:, None] & (posb == jnp.minimum(tstar, FINE - 1)[:, None])
-    B = Bb.reshape(Lq).astype(jnp.int32)
+    Bbrk = Bb.reshape(K, Lq)
 
-    # --- 5. anchored matches ---------------------------------------------
+    # --- 5. anchored matches (bit-dilation chains, no scans) -------------
     # The greedy parse only opens/continues factors at exact seed matches
     # (>= msl consecutive matching bases); scattered single matches are
     # credited only when near a factor (gap credit / approx extension).
     # Raster analog: a match may delimit a segment only when within AW of
     # a >= MSL consecutive-match run; other matches still count toward
     # nt_match inside the segment but cannot extend or chain it.
-    last_mm = _ffill_idx(~m, iota)
-    run_end = iota - last_mm                  # run length ending at i
-    rev_mm = jax.lax.cummax(
-        jnp.where(~m, -iota, -BIG), reverse=True)
-    next_mm = jnp.where(rev_mm > -BIG, -rev_mm, Lq)
-    run_fwd = next_mm - iota                  # run length starting at i
-    runlen = run_end + run_fwd - 1
-    in_run = m & (runlen >= MSL)
-    in_anchor = m & (runlen >= MAL)   # long enough to OPEN a region
-    pe = _ffill_idx(in_run, iota)
-    ne_neg = jax.lax.cummax(jnp.where(in_run, -iota, -BIG), reverse=True)
-    ne = jnp.where(ne_neg > -BIG, -ne_neg, Lq + AW + 1)
-    dist = jnp.minimum(jnp.where(pe >= 0, iota - pe, Lq), ne - iota)
+    in_run = _run_positions(m, MSL)
+    in_anchor = _run_positions(m, MAL)   # long enough to OPEN a region
+    near_run = _dilate_back(in_run, AW) | _dilate_fwd(in_run, AW)
     # Density pass: the approximate-extension window rule (<= AM
     # mismatches per AW_WIN positions) as a raster predicate — a match
     # chains only if some AW_WIN-window covering it is dense enough.
     # Random 25%-identity terrain fails this almost everywhere.
-    mi32 = m.astype(jnp.int32)
-    csm = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mi32)])
-    d_win = csm[iota + 1] - csm[jnp.maximum(iota + 1 - AW_WIN, 0)]
-    dense_end = d_win >= (AW_WIN - AM)
-    cf = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(dense_end.astype(jnp.int32))])
-    covered_by_dense = (cf[jnp.minimum(iota + AW_WIN, Lq)] - cf[iota]) > 0
-    ma = m & (dist <= AW) & (covered_by_dense | in_run)
+    w15 = _win_sum(m.astype(jnp.int32), AW_WIN)
+    dense_end = w15 >= (AW_WIN - AM)
+    covered_by_dense = _dilate_fwd(dense_end, AW_WIN - 1)
+    ma = m & near_run & (covered_by_dense | in_run)
 
-    # --- 6. segmentation + aggregates ------------------------------------
-    pm = _ffill_idx(ma, iota)                # last anchor at or before i
-    pm_excl = _shift_right(pm, jnp.int32(-1))
-    cumB = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(B)])
-    crossed = cumB[iota + 1] - cumB[jnp.clip(pm_excl, -1, Lq - 1) + 1] > 0
-    seg_start = ma & ((pm_excl < 0) | (iota - pm_excl - 1 > mqd) | crossed)
-
-    # Next segment start strictly after i (Lq if none): smallest index >= i
-    # with seg_start, via a reversed cummax over negated indices.
-    neg = jax.lax.cummax(jnp.where(seg_start, -iota, -BIG), reverse=True)
-    nx = jnp.where(neg > -BIG, -neg, Lq)
-    ns_after = jnp.concatenate([nx[1:], jnp.full((1,), Lq, jnp.int32)])
-
-    cs = jnp.cumsum(m.astype(jnp.int32))
-    e_i = pm[jnp.clip(ns_after - 1, 0, Lq - 1)]   # last match of my segment
-    span = e_i - iota + 1
-    matches = cs[jnp.clip(e_i, 0, Lq - 1)] - cs[iota] + 1
-    # A region must contain an opening anchor (>= MAL-run), mirroring the
-    # greedy parse's mal-length region-opening requirement.
-    c11 = jnp.cumsum(in_anchor.astype(jnp.int32))
-    has_anchor = (c11[jnp.clip(e_i, 0, Lq - 1)] - c11[iota]
-                  + in_anchor[iota].astype(jnp.int32)) > 0
-    acc = seg_start & (span >= reg) & has_anchor
-    n_alns = jnp.sum(acc.astype(jnp.int32))
-    sum_match = jnp.sum(jnp.where(acc, matches, 0))
-    sum_alnlen = jnp.sum(jnp.where(acc, span, 0))
+    # --- 6. segmentation + aggregates (8 scans, no gathers) --------------
+    pm_excl = _sh_r(_ffill_idx(ma, iota[None, :]), 1, jnp.int32(-1))
+    any_prev = _dilate_back(_sh_r(ma, 1, False), mqd)  # ma in [i-mqd-1,i-1]
+    lastB = _ffill_idx(Bbrk, iota[None, :])
+    crossed = (lastB >= 0) & (lastB > pm_excl)
+    seg_start = ma & (~any_prev | crossed)
+    lastS = _ffill_idx(seg_start, iota[None, :])
+    ns_after = _rev_next_idx(_sh_l(seg_start, 1, False), iota[None, :],
+                             Lq)              # next start strictly after i
+    nma_strict = _rev_next_idx(_sh_l(ma, 1, False), iota[None, :], BIG)
+    # Both "next" indices live in the same left-shifted frame, so they
+    # compare directly: i is its segment's last anchored match iff the
+    # next anchored match does not precede the next segment start.
+    e_flag = ma & (nma_strict >= ns_after)
+    lastAnchor = _ffill_idx(in_anchor, iota[None, :])
+    accept_e = e_flag & (iota[None, :] - lastS + 1 >= reg) & \
+        (lastAnchor >= lastS)
+    rv = jax.lax.cummax(
+        jnp.where(e_flag, (Lq - 1 - iota[None, :]) * 2
+                  + accept_e.astype(jnp.int32), -1),
+        axis=1, reverse=True)
+    accE = (rv & 1) == 1
+    lastE_excl = _sh_r(_ffill_idx(e_flag, iota[None, :]), 1, jnp.int32(-2))
+    covered = (lastS >= 0) & (lastS > lastE_excl) & (rv >= 0)
+    acc_cov = covered & accE
+    n_alns = jnp.sum((seg_start & acc_cov).astype(jnp.int32), axis=-1)
+    sum_match = jnp.sum((m & acc_cov).astype(jnp.int32), axis=-1)
+    sum_alnlen = jnp.sum(acc_cov.astype(jnp.int32), axis=-1)
     if debug:
-        s_i = _ffill_idx(seg_start, iota)
-        s_c = jnp.clip(s_i, 0, Lq - 1)
-        acc_cov = (s_i >= 0) & acc[s_c] & (iota <= e_i[s_c])
-        return dict(m=m, acc_cov=acc_cov, D=D, S=S, A=A, vb=vb,
-                    seg_start=seg_start, tstar=tstar,
+        return dict(m=m, ma=ma, acc_cov=acc_cov, A=A, S=S, D=D, vb=vb,
+                    seg_start=seg_start, e_flag=e_flag, votes=votes,
                     n_alns=n_alns, sum_match=sum_match,
                     sum_alnlen=sum_alnlen)
-    return n_alns, sum_match, sum_alnlen
+    return jnp.stack([n_alns, sum_match, sum_alnlen], axis=-1)  # (K, 3)
 
 
-_pair_direction = jax.jit(_pair_core, static_argnames=(
-    'Lq', 'Lr', 'mqd', 'mrd', 'reg', 'debug'))
+def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
+                    r_rows, rlens, q_rows, qlens,
+                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits):
+    """One device program for a chunk of dispatch rows: vmap over B rows,
+    each row = one reference x K queries. r_rows/rlens: (B,), q_rows/qlens:
+    (B, K). Returns (B, K, 3)."""
+    core = partial(_row_core, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                   pack_bits=pack_bits)
 
+    def row(rr, rl, qr, ql):
+        return core(sv_f[rr], pk1_f[rr], pk2_f[rr], sv_r[rr], pk1_r[rr],
+                    pk2_r[rr], r2dov[rr], rl, qv['fwd'][qr], qv['qsv'][qr],
+                    ql)
 
-def _pair_direction_debug(*args, **kwargs):
-    return _pair_direction(*args, **kwargs, debug=True)
-
-
-def _group_run_body(bq_fwd, bq_qv, br_fwd, br_rc, br_sv_f, br_spos_f,
-                    br_sv_r, br_spos_r, q_rows, r_rows, qlens, rlens,
-                    *, Lq, Lr, mqd, mrd, reg):
-    """Run all chunks of one (q-bucket, r-bucket) task group in a single
-    device program: lax.map over chunks, vmap over the tasks of a chunk.
-    Rows/lens are (n_chunks, BATCH); returns (n_chunks, BATCH, 3)."""
-    pair = partial(_pair_direction, Lq=Lq, Lr=Lr, mqd=mqd, mrd=mrd, reg=reg)
-
-    def chunk(args):
-        qr, rr, ql, rl = args
-        n, sm, sl = jax.vmap(pair)(
-            bq_fwd[qr], bq_qv[qr], ql, br_fwd[rr], br_rc[rr],
-            br_sv_f[rr], br_spos_f[rr], br_sv_r[rr], br_spos_r[rr], rl)
-        return jnp.stack([n, sm, sl], axis=-1)
-
-    return jax.lax.map(chunk, (q_rows, r_rows, qlens, rlens))
+    return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
 
 
 _group_run = jax.jit(_group_run_body, static_argnames=(
-    'Lq', 'Lr', 'mqd', 'mrd', 'reg'))
+    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits'))
 
 
 @lru_cache(maxsize=128)
-def _make_sharded_group_run(mesh, Lq, Lr, mqd, mrd, reg):
-    """Pair-grid data parallelism over the mesh: the chunk axis of one
+def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits):
+    """Pair-grid data parallelism over the mesh: the row axis of one
     bucket-combination group is sharded across devices; the genome arena
     is replicated (the sketch-allgather design of SURVEY.md section 7 —
-    pair tiles ride ICI-free, each device runs its chunk slice)."""
+    pair tiles ride ICI-free, each device runs its row slice)."""
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
-    body = partial(_group_run_body, Lq=Lq, Lr=Lr, mqd=mqd, mrd=mrd, reg=reg)
-    rep = (P(),) * 8
-    sharded = (P(axis, None),) * 4
+    body = partial(_group_run_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
+                   reg=reg, pack_bits=pack_bits)
+    rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P()},)
+    sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
     return jax.jit(shard_map(
         body, mesh=mesh, in_specs=rep + sharded,
         out_specs=P(axis, None, None)))
 
 
-@partial(jax.jit, static_argnames=('k',))
-def _index_block(fwd, rc, k: int):
+@partial(jax.jit, static_argnames=('k', 'pack_bits'))
+def _index_block(fwd, rc, k: int, pack_bits: int):
+    """Per-genome device index build for one bucket chunk: strided query
+    seed values plus, per strand, value-sorted packed candidate arrays and
+    the overlapped eval window rows."""
+    G, Lp = fwd.shape
     kv = jax.vmap(partial(kmer_vals, k=k))
-    qv = kv(fwd)
-    vr = kv(rc)
-    vf_s = jnp.where(qv < 0, BIG, qv)
-    vr_s = jnp.where(vr < 0, BIG, vr)
-    order_f = jnp.argsort(vf_s, axis=1).astype(jnp.int32)
-    order_r = jnp.argsort(vr_s, axis=1).astype(jnp.int32)
-    return (qv,
-            jnp.take_along_axis(vf_s, order_f, 1), order_f,
-            jnp.take_along_axis(vr_s, order_r, 1), order_r)
+    qv_f = kv(fwd)
+    qv_r = kv(rc)
+    qsv = qv_f[:, ::STRIDE]
+    iota = jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32), (G, Lp))
+
+    def strand(qv_s):
+        vs = jnp.where(qv_s < 0, BIG, qv_s)
+        sv, spos = jax.lax.sort((vs, iota), num_keys=1, dimension=1)
+        prev_same = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
+        spred = jnp.where(prev_same, _sh_r(spos, 1, jnp.int32(0)), -1)
+        valid = sv < BIG
+        if pack_bits == 32:
+            pk1 = jnp.where(valid, (sv.astype(jnp.uint32) << 16)
+                            | spos.astype(jnp.uint32), 0)
+            pk2 = jnp.where(valid & (spred >= 0),
+                            (sv.astype(jnp.uint32) << 16)
+                            | spred.astype(jnp.uint32), 0)
+            return sv, pk1, pk2
+        # int64 triple pack: value<<36 | (pos+1)<<18 | (pred+1); the +1
+        # reserves 0 as the no-candidate sentinel inside each field.
+        p64 = (sv.astype(jnp.int64) << 36) \
+            | ((spos.astype(jnp.int64) + 1) << 18) \
+            | jnp.where(spred >= 0, spred.astype(jnp.int64) + 1, 0)
+        pk1 = jnp.where(valid, p64, 0)
+        return sv, pk1, pk1
+
+    sv_f, pk1_f, pk2_f = strand(qv_f)
+    sv_r, pk1_r, pk2_r = strand(qv_r)
+
+    # Overlapped 256-wide window rows (both strands stacked), with one
+    # all-pad lead row per strand so slightly-negative window starts read
+    # never-matching pad bases instead of wrapping.
+    pad = jnp.full((G, 128), 4, jnp.int8)
+    lead = jnp.full((G, 1, 256), 4, jnp.int8)
+
+    def rows(codes):
+        a = jnp.concatenate([codes, pad], axis=1).reshape(G, -1, 128)
+        ov = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=-1)
+        return jnp.concatenate([lead, ov], axis=1)
+
+    r2dov = jnp.concatenate([rows(fwd), rows(rc)], axis=1)
+    return qsv, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov
 
 
 class GenomeIndexTPU:
-    """Device-resident per-bucket genome arena: padded codes (both
-    strands), per-position seed k-mer values, and per-strand value-sorted
-    (values, positions) arrays. Built once; reused across all pairs."""
+    """Device-resident per-bucket genome arena: padded codes, strided seed
+    values (query role) and per-strand value-sorted packed candidate arrays
+    + overlapped window rows (reference role). Built once; reused across
+    every pair the genome joins."""
 
     def __init__(self, codes_list: Sequence[np.ndarray], k: int = SEED_K,
                  rows_chunk: int = 512):
@@ -406,6 +637,7 @@ class GenomeIndexTPU:
             members.setdefault(_pad_bucket(len(c)), []).append(i)
         for Lp, idxs in members.items():
             G = len(idxs)
+            pack_bits = 32 if Lp <= 65536 else 64
             fwd = np.full((G, Lp), 4, dtype=np.int8)
             rc = np.full((G, Lp), 4, dtype=np.int8)
             for row, i in enumerate(idxs):
@@ -417,13 +649,23 @@ class GenomeIndexTPU:
             parts = []
             for lo in range(0, G, rows_chunk):
                 parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
-                                          rc_d[lo:lo + rows_chunk], k))
-            qv, sv_f, spos_f, sv_r, spos_r = (
+                                          rc_d[lo:lo + rows_chunk], k,
+                                          pack_bits))
+            qsv, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
                 jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
                 for xs in zip(*parts))
             self.bucket[Lp] = dict(
-                fwd=fwd_d, rc=rc_d, qv=qv, sv_f=sv_f, spos_f=spos_f,
-                sv_r=sv_r, spos_r=spos_r)
+                fwd=fwd_d, qsv=qsv, sv_f=sv_f, pk1_f=pk1_f, pk2_f=pk2_f,
+                sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r, r2dov=r2dov,
+                pack_bits=pack_bits)
+
+
+def _batch_rows(Lq: int, Lr: int, K: int) -> int:
+    """Dispatch rows per chunk: bound the sort working set (~8M join
+    entries per dispatch) so device work per dispatch stays >> launch
+    overhead at every bucket size without blowing HBM."""
+    W = Lr + K * (Lq // STRIDE)
+    return max(4, min(128, (1 << 23) // W))
 
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
@@ -434,7 +676,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     ids-ordered genomes. Returns int64 array (len(pairs), 6) with columns
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
     as lz_native.all2all_native's aggregate output. With `mesh`, each
-    group's chunk axis is sharded over the mesh devices."""
+    group's row axis is sharded over the mesh devices."""
     params = params or AlignParams()
     mqd, mrd, reg = params.mqd, params.mrd, params.reg
     idx = index or GenomeIndexTPU(codes_list)
@@ -443,68 +685,70 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     if n_dev <= 1:
         mesh = None
 
-    # Directed tasks (qidx, ridx, pair_row, out_col), grouped by bucket
-    # combination so each group runs one compiled program.
-    groups: Dict[Tuple[int, int], List] = {}
-    for row, (i, j) in enumerate(pairs):
+    # Directed tasks grouped by bucket combination, then by reference
+    # genome so each dispatch row amortizes its reference join K ways.
+    groups: Dict[Tuple[int, int], Dict[int, List]] = {}
+    for prow, (i, j) in enumerate(pairs):
         i, j = int(i), int(j)
         for (qi, ri, col) in ((j, i, 0), (i, j, 3)):
             kq, kr = _pad_bucket(lens[qi]), _pad_bucket(lens[ri])
-            groups.setdefault((kq, kr), []).append((qi, ri, row, col))
+            groups.setdefault((kq, kr), {}).setdefault(ri, []).append(
+                (qi, prow, col))
 
     out = np.zeros((len(pairs), 6), dtype=np.int64)
-    pending = []   # (device results, task list)
-    # Fixed dispatch shape (chunk_rows, BATCH): ONE compiled program per
-    # bucket combination regardless of how many pairs a group has; chunk
-    # dispatches queue asynchronously on the device.
-    chunk_rows = n_dev if mesh is not None else 1
-    for (kq, kr), ts in sorted(groups.items()):
+    pending = []   # (device results list, row task lists)
+    for (kq, kr), by_ref in sorted(groups.items()):
         bq, br = idx.bucket[kq], idx.bucket[kr]
-        batch = _batch_for(kq, kr)
-        # Tiny groups: don't pad a handful of tasks to a huge chunk (and
-        # don't compile one); round the needed size up to a power of two
-        # so variant count stays logarithmic.
-        need = -(-len(ts) // chunk_rows)
-        if need < batch:
-            batch = max(16, 1 << (need - 1).bit_length())
-        per_dispatch = chunk_rows * batch
-        n_disp = -(-len(ts) // per_dispatch)
-        n_pad = n_disp * per_dispatch
-        q_rows = np.zeros(n_pad, np.int32)
-        r_rows = np.zeros(n_pad, np.int32)
-        qlens = np.zeros(n_pad, np.int32)
-        rlens = np.zeros(n_pad, np.int32)
-        for t_i, (qi, ri, _row, _col) in enumerate(ts):
-            q_rows[t_i] = idx.row[qi]
-            r_rows[t_i] = idx.row[ri]
-            qlens[t_i] = lens[qi]
-            rlens[t_i] = lens[ri]
-        arena = (bq['fwd'], bq['qv'], br['fwd'], br['rc'],
-                 br['sv_f'], br['spos_f'], br['sv_r'], br['spos_r'])
+        K = K_QUERIES
+        max_tasks = max(len(ts) for ts in by_ref.values())
+        if max_tasks < K:
+            K = max(1, 1 << (max_tasks - 1).bit_length())
+        rows = []        # (ref_idx, [task, ...] of length <= K)
+        for ri in sorted(by_ref):
+            ts = by_ref[ri]
+            for lo in range(0, len(ts), K):
+                rows.append((ri, ts[lo:lo + K]))
+        B = _batch_rows(kq, kr, K)
+        if mesh is not None:
+            B = max(B // n_dev, 1) * n_dev
+        n_disp = -(-len(rows) // B)
+        r_rows = np.zeros(n_disp * B, np.int32)
+        rlens = np.zeros(n_disp * B, np.int32)
+        q_rows = np.zeros((n_disp * B, K), np.int32)
+        qlens = np.zeros((n_disp * B, K), np.int32)
+        for w, (ri, ts) in enumerate(rows):
+            r_rows[w] = idx.row[ri]
+            rlens[w] = lens[ri]
+            for t_i, (qi, _prow, _col) in enumerate(ts):
+                q_rows[w, t_i] = idx.row[qi]
+                qlens[w, t_i] = lens[qi]
+        arena = (br['sv_f'], br['pk1_f'], br['pk2_f'], br['sv_r'],
+                 br['pk1_r'], br['pk2_r'], br['r2dov'],
+                 {'fwd': bq['fwd'], 'qsv': bq['qsv']})
+        static = dict(Lq=kq, Lr=kr, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                      pack_bits=br['pack_bits'])
         if mesh is not None:
             from ..parallel.distributed import replicate, shard_rows
-            run = _make_sharded_group_run(mesh, kq, kr, mqd, mrd, reg)
-            arena = tuple(replicate(mesh, a) for a in arena)
+            run = _make_sharded_group_run(mesh, **static)
+            arena = tuple(
+                {k2: replicate(mesh, v) for k2, v in a.items()}
+                if isinstance(a, dict) else replicate(mesh, a)
+                for a in arena)
             place = partial(shard_rows, mesh)
         else:
-            run = partial(_group_run, Lq=kq, Lr=kr, mqd=mqd, mrd=mrd,
-                          reg=reg)
+            run = partial(_group_run, **static)
             place = jnp.asarray
         results = []
-        shape = (chunk_rows, batch)
         for d in range(n_disp):
-            lo, hi = d * per_dispatch, (d + 1) * per_dispatch
+            lo, hi = d * B, (d + 1) * B
             results.append(run(
-                *arena,
-                place(q_rows[lo:hi].reshape(shape)),
-                place(r_rows[lo:hi].reshape(shape)),
-                place(qlens[lo:hi].reshape(shape)),
-                place(rlens[lo:hi].reshape(shape))))
-        pending.append((results, ts))
+                *arena, place(r_rows[lo:hi]), place(rlens[lo:hi]),
+                place(q_rows[lo:hi]), place(qlens[lo:hi])))
+        pending.append((results, rows, B, K))
     from ..parallel.distributed import fetch
-    for results, ts in pending:   # transfers post-dispatch
-        flat = np.concatenate([fetch(r).reshape(-1, 3)
-                               for r in results])
-        for t_i, (qi, ri, row, col) in enumerate(ts):
-            out[row, col:col + 3] = flat[t_i]
+    for results, rows, B, K in pending:   # transfers post-dispatch
+        flat = np.concatenate([fetch(r).reshape(-1, K, 3) for r in results])
+        for w, (_ri, ts) in enumerate(rows):
+            for t_i, (_qi, prow, col) in enumerate(ts):
+                out[prow, col:col + 3] = flat[w, t_i]
     return out

@@ -58,6 +58,53 @@ def test_run_prefilter_under_mesh_matches_host():
         assert abs(v - b.entries[key]) < 1e-12
 
 
+def test_batched_prefilter_under_mesh_matches_host():
+    """Out-of-core (--batch-size) and the device mesh compose: the batch
+    store's per-block counts run mesh-sharded and match the host engine
+    (reference analog: all2all-parts over parts, vclust.py:1404-1462)."""
+    from vclust_tpu.ops.prefilter import (BatchIndexStore,
+                                          shared_kmer_counts_host)
+    mesh = _mesh()
+    rng = np.random.default_rng(5)
+    sets = _random_sets(23, rng)    # 3 batches of <= 10, odd tail
+    expect = shared_kmer_counts_host(sets)
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        store = BatchIndexStore(tmp)
+        for lo in range(0, 23, 10):
+            store.add_batch(sets[lo:lo + 10], lo)
+        got = np.zeros_like(expect)
+        nb = len(store.batches)
+        for i in range(nb):
+            for j in range(i, nb):
+                ro, co, blk = store.pair_block(i, j, mesh=mesh)
+                got[ro:ro + blk.shape[0], co:co + blk.shape[1]] = blk
+                if i != j:
+                    got[co:co + blk.shape[1], ro:ro + blk.shape[0]] = blk.T
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_run_prefilter_batched_under_mesh_matches_host():
+    """run_prefilter(batch_size=..) under the mesh == host backend."""
+    from vclust_tpu.models.input import Genome
+    from vclust_tpu.models.prefilter import run_prefilter
+    rng = np.random.default_rng(6)
+    acgt = np.frombuffer(b'ACGT', dtype='S1')
+    genomes = []
+    for i in range(12):
+        s = acgt[rng.integers(0, 4, 2500)]
+        genomes.append(Genome(name=f'g{i}', seqs=[s.tobytes()]))
+        mut = s.copy()
+        mask = rng.random(len(mut)) < 0.02
+        mut[mask] = acgt[rng.integers(0, 4, mask.sum())]
+        genomes.append(Genome(name=f'g{i}m', seqs=[mut.tobytes()]))
+    a = run_prefilter(genomes, k=15, backend='device', batch_size=7)
+    b = run_prefilter(genomes, k=15, backend='host')
+    assert a.entries.keys() == b.entries.keys()
+    for key, v in a.entries.items():
+        assert abs(v - b.entries[key]) < 1e-12
+
+
 def test_sharded_align_matches_single_device():
     from vclust_tpu.ops import align_tpu
     mesh = _mesh()

@@ -62,14 +62,17 @@ def _block_entries(block, sim, lo, hi, min_kmers, min_ident):
 
 
 def _batched_entries(genomes, kmer_sets, sizes, k, bsz, min_kmers,
-                     min_ident):
+                     min_ident, mesh=None):
     """Out-of-core blockwise counting through the persisted batch store
     (the kmer-db `--batch-size`/`all2all-parts` analog, reference
     vclust.py:1404-1462): per-batch artifacts on disk, one (batch_i,
     batch_j) counts block in RAM at a time, each block O(nnz_i + nnz_j).
 
     kmer_sets entries are released batch-by-batch as they are persisted,
-    so peak host RAM is O(two batches), not O(corpus).
+    so peak host RAM is O(two batches), not O(corpus). With `mesh`, each
+    block's counts matmul is row-sharded over the mesh devices (out-of-core
+    and multi-chip compose: the reference's `all2all-parts` loop
+    vclust.py:1453-1462 over a device grid instead of one socket).
     """
     import tempfile
     from ..ops.prefilter import BatchIndexStore, ani_shorter as _ani
@@ -84,7 +87,7 @@ def _batched_entries(genomes, kmer_sets, sizes, k, bsz, min_kmers,
             off_i, n_i = store.batches[i]
             for j in range(i, nb):
                 off_j, n_j = store.batches[j]
-                ro, co, block = store.pair_block(i, j)
+                ro, co, block = store.pair_block(i, j, mesh=mesh)
                 col_sizes = sizes[co:co + block.shape[1]]
                 row_sizes = sizes[ro:ro + block.shape[0]]
                 sim = _ani(block, col_sizes, k, row_sizes=row_sizes)
@@ -120,24 +123,24 @@ def run_prefilter(
     sizes = np.array([len(s) for s in kmer_sets], dtype=np.int64)
     logger.info('Counting shared k-mers (occupancy matmul)')
 
+    mesh = None
+    if backend != 'host':
+        try:
+            from ..parallel.mesh import auto_mesh
+            mesh = auto_mesh()
+        except Exception:
+            mesh = None
     use_batches = (backend != 'host'
                    and (batch_size > 0 or n > _AUTO_PANEL_THRESHOLD))
     all_i, all_j, all_v = [], [], []
     if use_batches:
         bsz = batch_size if batch_size > 0 else _AUTO_PANEL
         for ri, cj, v in _batched_entries(genomes, kmer_sets, sizes, k, bsz,
-                                          min_kmers, min_ident):
+                                          min_kmers, min_ident, mesh=mesh):
             all_i.append(ri)
             all_j.append(cj)
             all_v.append(v)
     else:
-        mesh = None
-        if backend != 'host':
-            try:
-                from ..parallel.mesh import auto_mesh
-                mesh = auto_mesh()
-            except Exception:
-                mesh = None
         counts = shared_kmer_counts(kmer_sets, backend=backend, mesh=mesh)
         sim = ani_shorter(counts, sizes, k)
         ri, cj, v = _block_entries(counts, sim, 0, n, min_kmers, min_ident)

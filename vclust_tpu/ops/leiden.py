@@ -1,12 +1,22 @@
-"""Leiden community detection (host implementation).
+"""Leiden community detection (host implementation, CPM objective).
 
 Replaces clusty's igraph-backed Leiden mode (reference vclust.py:549-569;
-flags --leiden-resolution/--leiden-beta/--leiden-iterations). Standard
-Leiden (Traag et al. 2019): local moving, refinement with beta-randomness,
-graph aggregation; modularity objective with a resolution parameter;
-weighted undirected graphs. Deterministically seeded so repeated runs are
+flags --leiden-resolution/--leiden-beta/--leiden-iterations). The
+reference's parameter set (resolution 0.7, beta 0.01, iterations 2) is
+igraph `community_leiden`'s signature, whose objective is the Constant
+Potts Model (CPM, Traag et al. 2019): quality = sum_C [W_in(C) -
+resolution * n_C (n_C - 1) / 2]. CPM makes `resolution` a direct edge-
+density threshold — natural for ANI-similarity graphs with weights in
+[0, 1] (a pair merges when its weight exceeds ~resolution) — and is
+aggregation-invariant, so the multi-level passes optimize one fixed
+objective (no per-level renormalization by the remaining edge mass).
+
+Standard Leiden structure: queue-based local moving, refinement with
+beta-randomness restricted to each community, graph aggregation over the
+*refined* partition. Deterministically seeded so repeated runs are
 md5-stable, matching the reference's determinism contract (SURVEY.md
-section 4.3).
+section 4.3). Semantic oracle: tests/test_leiden_semantics.py (planted
+partitions, CPM-quality bounds, connectivity guarantee).
 
 The graph lives in CSR arrays and all per-node work is vectorized numpy
 (community-weight sums via unique+bincount on the neighbor slice), so the
@@ -20,7 +30,7 @@ import numpy as np
 
 
 class _Graph:
-    """CSR with per-node weights; edges stored once per direction."""
+    """CSR with per-node sizes; edges stored once per direction."""
 
     def __init__(self, n, src, dst, w, node_w):
         self.n = n
@@ -31,7 +41,6 @@ class _Graph:
         self.indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=self.indptr[1:])
         self.node_w = node_w
-        self.total_w = float(w.sum()) / 2.0
 
     def row(self, i):
         lo, hi = self.indptr[i], self.indptr[i + 1]
@@ -45,14 +54,18 @@ def _comm_weights(labels, nb, wrow):
 
 
 def _local_move(g: '_Graph', comm, resolution):
-    """Queue-based local moving; mutates comm. Returns True if changed."""
+    """Queue-based local moving; mutates comm. Returns True if changed.
+
+    CPM move gain for node i (size s_i) into community C (total size n_C,
+    i excluded): w(i, C) - resolution * s_i * n_C. Monotone in the global
+    CPM quality, so the pass terminates.
+    """
     n = g.n
     comm_w = np.bincount(comm, weights=g.node_w, minlength=n)
     queue = list(range(n))
     in_queue = np.ones(n, dtype=bool)
     changed = False
     head = 0
-    two_m = 2.0 * g.total_w
     while head < len(queue):
         i = queue[head]
         head += 1
@@ -63,12 +76,12 @@ def _local_move(g: '_Graph', comm, resolution):
         ci = comm[i]
         comm_w[ci] -= g.node_w[i]
         uc, w_to = _comm_weights(comm, nb, wrow)
-        gains = w_to - resolution * g.node_w[i] * comm_w[uc] / two_m
+        gains = w_to - resolution * g.node_w[i] * comm_w[uc]
         pos = np.searchsorted(uc, ci)
         if pos < len(uc) and uc[pos] == ci:
             best_gain = gains[pos]
         else:
-            best_gain = -resolution * g.node_w[i] * comm_w[ci] / two_m
+            best_gain = -resolution * g.node_w[i] * comm_w[ci]
         best_c = ci
         j = int(np.argmax(gains))
         if uc[j] != ci and gains[j] > best_gain + 1e-12:
@@ -98,7 +111,6 @@ def _refine(g: '_Graph', comm, resolution, beta, rng):
     sub = np.arange(n)
     sub_w = g.node_w.astype(float).copy()
     order = rng.permutation(n)
-    two_m = 2.0 * g.total_w
     for i in order:
         if sub_w[sub[i]] != g.node_w[i]:
             continue  # only singleton subcommunities may move
@@ -111,13 +123,16 @@ def _refine(g: '_Graph', comm, resolution, beta, rng):
         us, w_to = us[keep], w_to[keep]
         if len(us) == 0:
             continue
-        gains = w_to - resolution * g.node_w[i] * sub_w[us] / two_m
+        gains = w_to - resolution * g.node_w[i] * sub_w[us]
         ok = gains >= 0
         if not ok.any():
             continue
         gains, us = gains[ok], us[ok]
         if beta > 0:
-            probs = np.exp(gains / max(beta, 1e-9))
+            # Stable softmax: gains/beta easily exceeds exp()'s range for
+            # the default beta=0.01; shifting by the max is exact.
+            z = gains / max(beta, 1e-9)
+            probs = np.exp(z - z.max())
             probs /= probs.sum()
             pick = int(rng.choice(len(us), p=probs))
         else:
@@ -139,8 +154,7 @@ def leiden(n: int, edges: np.ndarray, weights: np.ndarray,
     mapping = np.arange(n)
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     ww = np.asarray(weights, dtype=np.float64)
-    # Drop self loops from the move graph; they only shift the objective
-    # by a constant.
+    # Self loops never change CPM move gains; drop them from the move graph.
     keep = edges[:, 0] != edges[:, 1]
     src = np.concatenate([edges[keep, 0], edges[keep, 1]])
     dst = np.concatenate([edges[keep, 1], edges[keep, 0]])
@@ -149,7 +163,7 @@ def leiden(n: int, edges: np.ndarray, weights: np.ndarray,
     node_w = np.ones(cur_n)
 
     for _ in range(max(1, iterations)):
-        if len(w) == 0 or w.sum() <= 0:
+        if len(w) == 0:
             break
         g = _Graph(cur_n, src, dst, w, node_w)
         comm = np.arange(cur_n)

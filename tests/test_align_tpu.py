@@ -91,3 +91,50 @@ def test_tpu_engine_rejects_alignment_output():
     genomes, _ = load_genomes(FASTA_FILE)
     with pytest.raises(ValueError):
         run_align(genomes[:2], engine='tpu', keep_alignments=True)
+
+
+def test_tpu_wide_pack_bucket_matches_exact():
+    """Genomes > 64 kb use the int64 seed pack (pack_bits=64), which needs
+    the scoped x64 context — without it JAX silently truncates the pack to
+    int32 and the join returns zero candidates (round-4 regression)."""
+    import numpy as np
+    from vclust_tpu.ops import align_tpu
+    from vclust_tpu.ops import lz_native
+    from vclust_tpu.ops.lz_parse_py import AlignParams
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 4, 100_000).astype(np.int8)
+    mut = base.copy()
+    mask = rng.random(len(mut)) < 0.05
+    mut[mask] = rng.integers(0, 4, mask.sum())
+    pairs = np.array([[0, 1]], dtype=np.int32)
+    tpu = align_tpu.all2all_tpu([base, mut], pairs)
+    exact, _ = lz_native.all2all_native([base, mut], pairs, AlignParams())
+    t_tpu = (tpu[0][1] + tpu[0][4]) / 200_000
+    t_ex = (exact[0][1] + exact[0][4]) / 200_000
+    assert t_ex > 0.9
+    assert abs(t_tpu - t_ex) <= 0.01, (t_tpu, t_ex)
+
+
+def test_oversized_genome_routes_to_native_engine():
+    """Pairs touching genomes beyond MAX_TPU_LEN (2**20) transparently use
+    the exact native engine under engine='tpu' (models/align.py routing);
+    the raw op rejects them loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from vclust_tpu.models.input import Genome
+    from vclust_tpu.models.align import run_align
+    from vclust_tpu.ops import align_tpu
+    rng = np.random.default_rng(1)
+    acgt = np.frombuffer(b'ACGT', dtype='S1')
+    small = acgt[rng.integers(0, 4, 30_000)]
+    big = np.concatenate([small] * 40)[: (1 << 20) + 500]   # > MAX_TPU_LEN
+    genomes = [Genome(name='big', seqs=[big.tobytes()]),
+               Genome(name='small', seqs=[small.tobytes()])]
+    result = run_align(genomes, engine='tpu')
+    rows = {(r.query, r.reference): r for r in result.rows}
+    assert ('small', 'big') in rows
+    assert rows[('small', 'big')].qcov > 0.9   # small is contained in big
+
+    codes = [np.zeros((1 << 20) + 8, np.int8), np.zeros(1000, np.int8)]
+    with _pytest.raises(ValueError):
+        align_tpu.all2all_tpu(codes, np.array([[0, 1]], dtype=np.int32))

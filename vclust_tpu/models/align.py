@@ -205,7 +205,9 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
     """TPU batch path: one device program per length-bucket combination
     (ops/align_tpu.py). Emits the same measure columns as the exact
     engines within the accuracy contract pinned by tests/test_align_tpu.py
-    (no per-alignment rows)."""
+    (no per-alignment rows). Pairs touching genomes beyond the TPU
+    engine's position range (align_tpu.MAX_TPU_LEN) fall back to the
+    exact native engine transparently."""
     from ..ops import align_tpu
     from ..parallel.mesh import auto_mesh
     logger = get_logger()
@@ -214,8 +216,28 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
                 + (f', {mesh.devices.size}-device mesh)' if mesh else ')'))
     codes_list = [_genome_codes(genomes[order[pos]])
                   for pos in range(len(order))]
-    pairs = np.asarray(candidates, dtype=np.int32).reshape(-1, 2)
-    agg = align_tpu.all2all_tpu(codes_list, pairs, params, mesh=mesh)
+    oversized = {pos for pos, c in enumerate(codes_list)
+                 if len(c) > align_tpu.MAX_TPU_LEN}
+    pairs_host = [(i, j) for (i, j) in candidates
+                  if i in oversized or j in oversized]
+    pairs_tpu = [(i, j) for (i, j) in candidates
+                 if i not in oversized and j not in oversized]
+    agg_by_pair = {}
+    if pairs_tpu:
+        pairs = np.asarray(pairs_tpu, dtype=np.int32).reshape(-1, 2)
+        a = align_tpu.all2all_tpu(codes_list, pairs, params, mesh=mesh)
+        for k, p in enumerate(pairs_tpu):
+            agg_by_pair[p] = a[k]
+    if pairs_host:
+        logger.info(f'{len(pairs_host)} pairs exceed the TPU engine\'s '
+                    f'{align_tpu.MAX_TPU_LEN}-base range; using the exact '
+                    'native engine for them')
+        ph = np.asarray(pairs_host, dtype=np.int32).reshape(-1, 2)
+        a, _ = lz_native.all2all_native(codes_list, ph, params)
+        for k, p in enumerate(pairs_host):
+            agg_by_pair[p] = a[k]
+    agg = np.stack([agg_by_pair[p] for p in candidates]) if candidates \
+        else np.zeros((0, 6), dtype=np.int64)
     lengths = [o[1] for o in objects]
     names = [o[0] for o in objects]
     for k, (i, j) in enumerate(candidates):

@@ -51,12 +51,23 @@ small tolerance of the exact engine on every golden pair. Use `tpu` for
 throughput at scale; use `native` for golden-parity per-alignment output.
 """
 
+import contextlib
 from functools import lru_cache, partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _x64(pack_bits: int):
+    """JAX truncates jnp.int64 to int32 silently unless x64 is enabled —
+    which would corrupt the wide seed pack for genomes > 64 kb (the join
+    returns zero candidates). Trace the pack_bits=64 programs under the
+    scoped x64 context; 32-bit buckets stay on the default config."""
+    if pack_bits == 64:
+        return jax.enable_x64(True)
+    return contextlib.nullcontext()
 
 from .lz_parse_py import AlignParams
 from ..utils.jaxcache import enable_compilation_cache
@@ -93,6 +104,12 @@ AW_WIN = 15         # approximate-extension window length (density rule)
 AM = 7              # max mismatches tolerated inside the window
 
 BIG = np.int32(2 ** 30)
+
+# Longest genome the TPU engine indexes: the int64 seed pack gives the
+# position fields 20 bits (pos+1 <= 0xFFFFF), so buckets beyond 2**20 would
+# silently corrupt the join. models/align.py routes longer genomes' pairs
+# to the exact native engine.
+MAX_TPU_LEN = 1 << 20
 
 _BUCKETS = sorted({4096 << i for i in range(8)}
                   | {6144 << i for i in range(8)})
@@ -236,8 +253,11 @@ def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
         qpos = (s3 % Ls) * STRIDE
 
         def cand(c):
+            # Positions pack as pos+1 so 0 stays the no-candidate sentinel
+            # even for k-mer value 0 at reference position 0 (valid seeds
+            # end >= k before the bucket edge, so pos+1 < 2**16 always).
             cv = (c >> 16).astype(jnp.int32)
-            cp = (c & 0xFFFF).astype(jnp.int32)
+            cp = (c & 0xFFFF).astype(jnp.int32) - 1
             ok = is_q & (cv == val) & (c > 0)
             d = cp - qpos + Lq + offset
             return jnp.where(ok, d, BIG)
@@ -252,9 +272,9 @@ def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
         val = (sk >> 1)
         is_q = (sk & 1) == 1
         qpos = (s3 % Ls) * STRIDE
-        cv = (c >> 36).astype(jnp.int32)
-        cp = ((c >> 18) & 0x3FFFF).astype(jnp.int32)
-        cq = (c & 0x3FFFF).astype(jnp.int32)
+        cv = (c >> 40).astype(jnp.int32)
+        cp = ((c >> 20) & 0xFFFFF).astype(jnp.int32)
+        cq = (c & 0xFFFFF).astype(jnp.int32)
         ok = is_q & (cv == val) & (c > 0)
         d1 = jnp.where(ok, cp - 1 - qpos + Lq + offset, BIG)
         d2 = jnp.where(ok & (cq > 0), cq - 1 - qpos + Lq + offset, BIG)
@@ -287,20 +307,30 @@ def _elect(sd, cstride, min_votes, *, DSPAN, Lq):
     cnt_eq = jnp.where(sds < BIG, cnt_eq, 0)
     # Max-pack (count, inverted value): the winner is the largest cluster,
     # ties broken toward the smallest start value (matches argmax-first).
-    VMASK = (1 << 22) - 1
-    packed = (cnt << 22) | (VMASK - jnp.minimum(sds, VMASK))
+    # Vote codes reach ~2*(Lq+Lr)+64; for bucket pairs where that exceeds
+    # the 22-bit field the pack widens to int64 (counts <= 256 need 9 bits,
+    # so 22+9 is the int32 ceiling) instead of silently clamping codes.
+    max_code = 2 * DSPAN + 64
+    if max_code < (1 << 22):
+        VBITS, pdt = 22, jnp.int32
+    else:
+        VBITS, pdt = 32, jnp.int64
+    VMASK = (1 << VBITS) - 1
+    clamped = jnp.minimum(sds, VMASK).astype(pdt)
+    packed = (cnt.astype(pdt) << VBITS) | (VMASK - clamped)
     best = jnp.max(packed, axis=-1)
-    vb = best >> 22
-    start = VMASK - (best & VMASK)
+    vb = (best >> VBITS).astype(jnp.int32)
+    start = (VMASK - (best & VMASK)).astype(jnp.int32)
     # Cluster representative: the MODE of the cluster window — the match
     # evaluation needs the diagonal exactly, and the most frequent exact
     # value is robust to spurious votes inside the window (a range
     # midpoint or mean would drift off-diagonal and zero the block).
     inb = (sds >= start[:, None]) & (sds <= start[:, None] + GAP_DIAG)
-    packed_m = jnp.where(inb, (cnt_eq << 22)
-                         | (VMASK - jnp.minimum(sds, VMASK)), -1)
+    packed_m = jnp.where(inb, (cnt_eq.astype(pdt) << VBITS)
+                         | (VMASK - clamped), -1)
     bestm = jnp.max(packed_m, axis=-1)
-    medv = jnp.where(vb > 0, VMASK - (bestm & VMASK), BIG)
+    medv = jnp.where(vb > 0, (VMASK - (bestm & VMASK)).astype(jnp.int32),
+                     BIG)
     # Exact (unsaturated) vote count of the elected cluster.
     vb_x = jnp.sum((jnp.abs(sd - medv[:, None]) <= GAP_DIAG)
                    .astype(jnp.int32), axis=-1)
@@ -587,16 +617,21 @@ def _index_block(fwd, rc, k: int, pack_bits: int):
         spred = jnp.where(prev_same, _sh_r(spos, 1, jnp.int32(0)), -1)
         valid = sv < BIG
         if pack_bits == 32:
+            # pos+1 keeps 0 as the unambiguous no-candidate sentinel (a
+            # value-0 seed at position 0 would otherwise pack to 0); valid
+            # seeds end >= k before the bucket edge so pos+1 < 2**16.
             pk1 = jnp.where(valid, (sv.astype(jnp.uint32) << 16)
-                            | spos.astype(jnp.uint32), 0)
+                            | (spos.astype(jnp.uint32) + 1), 0)
             pk2 = jnp.where(valid & (spred >= 0),
                             (sv.astype(jnp.uint32) << 16)
-                            | spred.astype(jnp.uint32), 0)
+                            | (spred.astype(jnp.uint32) + 1), 0)
             return sv, pk1, pk2
-        # int64 triple pack: value<<36 | (pos+1)<<18 | (pred+1); the +1
-        # reserves 0 as the no-candidate sentinel inside each field.
-        p64 = (sv.astype(jnp.int64) << 36) \
-            | ((spos.astype(jnp.int64) + 1) << 18) \
+        # int64 triple pack: value<<40 | (pos+1)<<20 | (pred+1); the +1
+        # reserves 0 as the no-candidate sentinel inside each field, and
+        # the 20-bit position fields hold pos+1 up to 2**20 (MAX_TPU_LEN;
+        # longer genomes are rejected at index build).
+        p64 = (sv.astype(jnp.int64) << 40) \
+            | ((spos.astype(jnp.int64) + 1) << 20) \
             | jnp.where(spred >= 0, spred.astype(jnp.int64) + 1, 0)
         pk1 = jnp.where(valid, p64, 0)
         return sv, pk1, pk1
@@ -632,9 +667,15 @@ class GenomeIndexTPU:
         self.lens = np.array([len(c) for c in codes_list], dtype=np.int32)
         self.bucket = {}   # Lp -> dict of stacked device arrays
         self.row = {}      # genome idx -> row within its bucket
+        # Genomes beyond the seed-pack position range are not indexed;
+        # all2all_tpu rejects pairs touching them (models/align.py routes
+        # such pairs to the exact native engine instead).
+        self.oversized = {i for i, c in enumerate(codes_list)
+                          if len(c) > MAX_TPU_LEN}
         members: Dict[int, List[int]] = {}
         for i, c in enumerate(codes_list):
-            members.setdefault(_pad_bucket(len(c)), []).append(i)
+            if i not in self.oversized:
+                members.setdefault(_pad_bucket(len(c)), []).append(i)
         for Lp, idxs in members.items():
             G = len(idxs)
             pack_bits = 32 if Lp <= 65536 else 64
@@ -647,10 +688,11 @@ class GenomeIndexTPU:
             fwd_d = jnp.asarray(fwd)
             rc_d = jnp.asarray(rc)
             parts = []
-            for lo in range(0, G, rows_chunk):
-                parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
-                                          rc_d[lo:lo + rows_chunk], k,
-                                          pack_bits))
+            with _x64(pack_bits):
+                for lo in range(0, G, rows_chunk):
+                    parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
+                                              rc_d[lo:lo + rows_chunk], k,
+                                              pack_bits))
             qsv, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
                 jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
                 for xs in zip(*parts))
@@ -690,6 +732,11 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     groups: Dict[Tuple[int, int], Dict[int, List]] = {}
     for prow, (i, j) in enumerate(pairs):
         i, j = int(i), int(j)
+        if i in idx.oversized or j in idx.oversized:
+            raise ValueError(
+                f'pair ({i}, {j}) touches a genome longer than '
+                f'{MAX_TPU_LEN} bases — beyond the TPU engine\'s seed-pack '
+                f'position range; align it with the native engine')
         for (qi, ri, col) in ((j, i, 0), (i, j, 3)):
             kq, kr = _pad_bucket(lens[qi]), _pad_bucket(lens[ri])
             groups.setdefault((kq, kr), {}).setdefault(ri, []).append(
@@ -739,11 +786,12 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             run = partial(_group_run, **static)
             place = jnp.asarray
         results = []
-        for d in range(n_disp):
-            lo, hi = d * B, (d + 1) * B
-            results.append(run(
-                *arena, place(r_rows[lo:hi]), place(rlens[lo:hi]),
-                place(q_rows[lo:hi]), place(qlens[lo:hi])))
+        with _x64(br['pack_bits']):
+            for d in range(n_disp):
+                lo, hi = d * B, (d + 1) * B
+                results.append(run(
+                    *arena, place(r_rows[lo:hi]), place(rlens[lo:hi]),
+                    place(q_rows[lo:hi]), place(qlens[lo:hi])))
         pending.append((results, rows, B, K))
     from ..parallel.distributed import fetch
     for results, rows, B, K in pending:   # transfers post-dispatch

@@ -33,7 +33,10 @@ TRUE_TANI = {
     ('NC_002486', 'NC_002486.alt'): 1.00000,
 }
 HARD_PAIR = ('NC_025457', 'NC_025457.alt2')
-HARD_TOLERANCE = 0.045
+# Round-4 ratchet: the stratified-sampling engine measures the mosaic
+# alt2 pairs within 0.019 of the exact engine (round 3: 0.045, round 2:
+# 0.03) — the bound pins that level so regressions fail.
+HARD_TOLERANCE = 0.025
 TOLERANCE = 0.007
 
 
@@ -73,24 +76,49 @@ def test_tpu_agrees_with_exact_engine(tpu_rows, exact_rows):
         row = tpu_rows.get(key)
         if ex.tani >= 0.5:
             hard = HARD_PAIR[1] in key   # any pairing of the mosaic alt2
-            tol = HARD_TOLERANCE if hard else 0.03
+            tol = HARD_TOLERANCE if hard else 0.015
             assert row is not None, f'{key} missing from TPU output'
             assert abs(row.tani - ex.tani) <= tol, (
                 f'{key}: tpu {row.tani:.5f} vs exact {ex.tani:.5f}')
-            assert abs(row.qcov - ex.qcov) <= 0.12
+            assert abs(row.qcov - ex.qcov) <= 0.06
             checked += 1
         elif row is not None:
-            assert row.tani <= ex.tani + 0.02, (
+            assert row.tani <= ex.tani + 0.005, (
                 f'{key}: junk inflated ({row.tani:.5f} vs {ex.tani:.5f})')
     assert checked >= 16   # all 8 truth pairs, both directions
 
 
-def test_tpu_engine_rejects_alignment_output():
+def test_tpu_engine_alignment_rows():
+    """--engine tpu --out-aln: device-side segment compaction emits the
+    10-column alignment contract (reference vclust.py:1127-1133):
+    coordinates 1-based inclusive, qend-qstart+1 == alnlen, reverse
+    strand as rstart > rend, rows consistent with the pair's aggregate
+    measures."""
     from vclust_tpu.models.input import load_genomes
     from vclust_tpu.models.align import run_align
     genomes, _ = load_genomes(FASTA_FILE)
-    with pytest.raises(ValueError):
-        run_align(genomes[:2], engine='tpu', keep_alignments=True)
+    result = run_align(genomes, engine='tpu', keep_alignments=True)
+    assert result.alignments, 'no alignment rows emitted'
+    by_pair = {}
+    for a in result.alignments:
+        assert a.alnlen == a.qend - a.qstart + 1
+        assert a.qstart >= 1 and a.qend >= a.qstart
+        assert a.nt_match + a.nt_mismatch == a.alnlen
+        assert 0 < a.pident <= 100.0
+        by_pair.setdefault((a.query, a.reference), []).append(a)
+    # Reverse-strand rows exist on this corpus (NC_002486.alt contains a
+    # revcomp fragment) and encode as rstart > rend.
+    assert any(a.rstart > a.rend for a in result.alignments)
+    rows = {(r.query, r.reference): r for r in result.rows}
+    for key, alns in by_pair.items():
+        row = rows[key]
+        # Sorted by alnlen descending within the pair.
+        lens = [a.alnlen for a in alns]
+        assert lens == sorted(lens, reverse=True)
+        # Row counts match num_alns (records are capped only at
+        # pathological segment counts, not reached here).
+        assert len(alns) == row.num_alns
+        assert sum(a.nt_match for a in alns) == row.nt_match
 
 
 def test_tpu_wide_pack_bucket_matches_exact():

@@ -129,12 +129,8 @@ def run_align(
         raise RuntimeError('native align engine unavailable')
 
     if engine == 'tpu':
-        if keep_alignments:
-            raise ValueError(
-                'the tpu align engine produces measure aggregates, not '
-                'per-alignment rows; drop --out-aln or use --engine native')
         return _run_align_tpu(genomes, order, objects, result, candidates,
-                              params, out_filters)
+                              params, out_filters, keep_alignments)
 
     if use_native:
         return _run_align_native(genomes, order, objects, result, candidates,
@@ -201,13 +197,15 @@ def run_align(
 
 
 def _run_align_tpu(genomes, order, objects, result, candidates, params,
-                   out_filters):
+                   out_filters, keep_alignments=False):
     """TPU batch path: one device program per length-bucket combination
     (ops/align_tpu.py). Emits the same measure columns as the exact
-    engines within the accuracy contract pinned by tests/test_align_tpu.py
-    (no per-alignment rows). Pairs touching genomes beyond the TPU
-    engine's position range (align_tpu.MAX_TPU_LEN) fall back to the
-    exact native engine transparently."""
+    engines within the accuracy contract pinned by tests/test_align_tpu.py;
+    with keep_alignments, per-alignment rows come from the device-side
+    segment compaction (same 6-column record layout as the native
+    engine). Pairs touching genomes beyond the TPU engine's position
+    range (align_tpu.MAX_TPU_LEN) fall back to the exact native engine
+    transparently."""
     from ..ops import align_tpu
     from ..parallel.mesh import auto_mesh
     logger = get_logger()
@@ -223,19 +221,34 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
     pairs_tpu = [(i, j) for (i, j) in candidates
                  if i not in oversized and j not in oversized]
     agg_by_pair = {}
+    alns_by_task = {}   # (pair, direction) -> (n, 6) int32 block
+
+    def _scatter(pair_list, agg, alns):
+        for k, p in enumerate(pair_list):
+            agg_by_pair[p] = agg[k]
+        if alns is not None:
+            rows_cat, counts = alns
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            for k, p in enumerate(pair_list):
+                for d in (0, 1):
+                    lo, hi = offs[2 * k + d], offs[2 * k + d + 1]
+                    alns_by_task[(p, d)] = rows_cat[lo:hi]
+
     if pairs_tpu:
         pairs = np.asarray(pairs_tpu, dtype=np.int32).reshape(-1, 2)
-        a = align_tpu.all2all_tpu(codes_list, pairs, params, mesh=mesh)
-        for k, p in enumerate(pairs_tpu):
-            agg_by_pair[p] = a[k]
+        res = align_tpu.all2all_tpu(codes_list, pairs, params, mesh=mesh,
+                                    keep_alignments=keep_alignments)
+        a, alns = res if keep_alignments else (res, None)
+        _scatter(pairs_tpu, a, alns)
     if pairs_host:
         logger.info(f'{len(pairs_host)} pairs exceed the TPU engine\'s '
                     f'{align_tpu.MAX_TPU_LEN}-base range; using the exact '
                     'native engine for them')
         ph = np.asarray(pairs_host, dtype=np.int32).reshape(-1, 2)
-        a, _ = lz_native.all2all_native(codes_list, ph, params)
-        for k, p in enumerate(pairs_host):
-            agg_by_pair[p] = a[k]
+        a, alns = lz_native.all2all_native(
+            codes_list, ph, params, keep_alignments=keep_alignments)
+        _scatter(pairs_host, a, alns)
     agg = np.stack([agg_by_pair[p] for p in candidates]) if candidates \
         else np.zeros((0, 6), dtype=np.int64)
     lengths = [o[1] for o in objects]
@@ -247,9 +260,9 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
         qlen_j, qlen_i = lengths[j], lengths[i]
         tani = (match_ji + match_ij) / (qlen_i + qlen_j)
         len_ratio = min(qlen_i, qlen_j) / max(qlen_i, qlen_j)
-        for (q, r, n_a, s_match, s_alnlen, o_alnlen) in (
+        for d, (q, r, n_a, s_match, s_alnlen, o_alnlen) in enumerate((
                 (j, i, n_ji, match_ji, alnlen_ji, alnlen_ij),
-                (i, j, n_ij, match_ij, alnlen_ij, alnlen_ji)):
+                (i, j, n_ij, match_ij, alnlen_ij, alnlen_ji))):
             qlen, rlen = lengths[q], lengths[r]
             row = AniRow(
                 qidx=q, ridx=r, query=names[q], reference=names[r],
@@ -262,8 +275,23 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
                 qlen=qlen, rlen=rlen,
                 nt_match=int(s_match),
                 nt_mismatch=int(s_alnlen - s_match))
-            if _passes_out_filters(row, out_filters):
-                result.rows.append(row)
+            if not _passes_out_filters(row, out_filters):
+                continue
+            result.rows.append(row)
+            if keep_alignments:
+                block = alns_by_task.get(((i, j), d))
+                if block is None or not len(block):
+                    continue
+                alnlens = block[:, 4] + block[:, 5]
+                for t in np.lexsort((block[:, 0], -alnlens)):
+                    a_ = block[t]
+                    al = int(alnlens[t])
+                    result.alignments.append(AlnRow(
+                        query=names[q], reference=names[r],
+                        pident=100.0 * int(a_[4]) / al, alnlen=al,
+                        qstart=int(a_[0]) + 1, qend=int(a_[1]) + 1,
+                        rstart=int(a_[2]) + 1, rend=int(a_[3]) + 1,
+                        nt_match=int(a_[4]), nt_mismatch=int(a_[5])))
     return result
 
 

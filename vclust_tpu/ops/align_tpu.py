@@ -8,39 +8,49 @@ dataflow of sorts, scans and full-lane row gathers over static shapes — no
 data-dependent control flow, so XLA compiles one program per length-bucket
 combination and hundreds of directed pairs run per dispatch.
 
-The round-3 redesign is driven by measured v5e primitive costs
-(tools/microbench_r3c/r3d.py): random element gathers cost ~10 ns/elem,
-`lax.sort` ~0.7-1.1 ns/elem, native cumsum/cummax ~0.2 ns/elem, full-lane
-row gathers ~0.02 ns/elem, and elementwise chains fuse to ~free. The
-round-2 engine spent ~90% of its time in element gathers; this engine has
-none on the per-pair path:
+The engine is driven by measured v5e primitive costs (round 3:
+tools/microbench_r3c/r3d.py; round 4: tools/microbench_r4.py +
+tools/profile_align.py): `lax.sort` costs ~2.8 ns per participating
+element REGARDLESS of payload count, random element gathers ~7-10
+ns/elem, native cumsum/cummax ~0.2 ns/elem, full-lane row gathers and
+elementwise chains ~free. The round-3 profile showed sorts at ~50% and
+the HBM-bound eval where-trees at ~35% of device time, so round 4
+minimizes sort PARTICIPANTS and eval BYTES:
 
-  1. **K-query reference-amortized sort join.** Each dispatch row holds
+  1. **Stratified seed sampling** (round 4). Per 32-position fine block,
+     only the SEEDS_PER_BLOCK seeds with the smallest value hash join,
+     on both sides. Keying the selection on the k-mer value keeps
+     query/reference consistent (a matching seed survives on both sides
+     together — the minimizer argument), halving the join width at
+     C=16 with zero padding waste, and beating the round-3 stride grid
+     on accuracy because sampling has no phase-alignment loss.
+  2. **K-query reference-amortized sort join.** Each dispatch row holds
      ONE reference and K queries of the same length bucket. Per strand,
-     reference seed entries (8-mer value, position, previous-occurrence
-     position — packed into one uint32 as value<<16|pos, exploiting that
-     positions ascend within equal-value runs of the presorted reference
-     arrays) are sorted together with all K queries' strided seed values.
-     A single native `cummax` over the packed payloads then hands every
-     query slot the last-2 reference occurrences of its value ("newest two
-     occurrences", the round-2 CANDS=2 semantics) with no gather and no
-     per-pair re-sort of the reference side. A second sort restores query
-     order and yields candidate diagonals ("votes").
-  2. **Two-scale block diagonal election** (as in round 2): per fine block
-     the densest diagonal cluster wins (sorted votes + shifted-window rank
-     counts); coarse blocks rescue sparse-vote regions. Argmax payloads are
-     carried by max-packing (count<<20 | inverted-value), not gathers.
-  3. **Match evaluation via overlapped window rows.** The reference is
-     pre-tiled into 256-wide rows overlapping by 128 (both strands); each
-     fine block row-gathers its window (full-lane gathers are ~free) and a
-     16-way + 8-way where-tree selects the 32-wide phase slice. Where
-     consecutive blocks elect different diagonals, the optimal switch point
-     is found by a prefix-sum argmax (max-packed).
-  4. **Region segmentation without gathers**: seed/anchor runs and the
+     sampled reference seed entries (8-mer value, position, previous-
+     occurrence position, packed) are sorted together with all K queries'
+     sampled seed values. A single native `cummax` over the packed
+     payloads then hands every query slot the last-2 reference
+     occurrences of its value with no gather and no per-pair re-sort of
+     the reference side. A second sort restores query order and yields
+     candidate diagonals ("votes").
+  3. **Two-scale block diagonal election**: per fine block the densest
+     diagonal cluster wins (sorted votes + shifted-window rank counts);
+     coarse blocks rescue sparse-vote regions. Argmax payloads are
+     carried by max-packing (count<<22 | inverted-value), not gathers.
+  4. **Match evaluation via overlapped window rows.** The reference is
+     pre-tiled into 64-wide rows overlapping by 32 (both strands); each
+     fine block row-gathers its window (full-lane gathers are ~free) and
+     a 5-step binary where-tree selects the 32-wide phase slice — 4x
+     fewer bytes per eval pass than round 3's 256/128 layout. Where
+     consecutive blocks elect different diagonals, the optimal switch
+     point is found by a prefix-sum argmax (max-packed).
+  5. **Region segmentation without gathers**: seed/anchor runs and the
      approximate-extension window rule become bit-dilation shift chains;
      segment starts/ends, acceptance (>= reg span with an opening anchor)
      and per-segment coverage come from 8 native cummax scans (forward
-     ffill + reverse backfill with packed accept bits).
+     ffill + reverse backfill with packed accept bits). With
+     keep_alignments, accepted segments compact via one extra sort into
+     per-alignment records (the --out-alignment contract).
 
 Semantics vs the exact engines (`native`/`py`, which are bit-identical to
 each other): same measures up to block-granularity approximations of
@@ -74,10 +84,24 @@ from ..utils.jaxcache import enable_compilation_cache
 
 enable_compilation_cache()
 
-SEED_K = 8          # seed length for diagonal votes (TPU path); 8 keeps
+import os as _os_tune
+
+SEED_K = int(_os_tune.environ.get('VCLUST_ALIGN_SEEDK', 8))
+#                     seed length for diagonal votes (TPU path); 8 keeps
 #                     (value, position) packs inside one uint32 for
 #                     buckets up to 65536 (larger buckets pack in int64)
-STRIDE = 2          # query positions between consecutive seed lookups
+SEEDS_PER_BLOCK = int(_os_tune.environ.get('VCLUST_ALIGN_C', 16))
+#                     stratified seed sampling: per 32-position fine
+#                     block, keep the C seeds with the smallest value
+#                     hash, on BOTH join sides. Selection keyed on the
+#                     k-mer VALUE keeps query/reference consistent (a
+#                     matching seed survives on both sides together, the
+#                     minimizer argument), so the expected matched-vote
+#                     yield is C/FINE of all matches with zero padding
+#                     waste — the join width (the measured cost driver:
+#                     lax.sort ~2.8 ns/element regardless of payload
+#                     count, tools/microbench_r4.py) shrinks to 1/4 on
+#                     both sides.
 CANDS = 2           # candidate reference positions kept per seed (the
 #                     newest two occurrences; the block election makes
 #                     repeat resolution robust to the small candidate set)
@@ -87,8 +111,13 @@ BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster
 SMAX = 15           # cluster-count saturation (ranking needs no more)
-MIN_VOTES_F = 3     # votes needed for a fine block to elect a diagonal
-MIN_VOTES_C = 5     # votes needed for a coarse block to elect a diagonal
+MIN_VOTES_F = int(_os_tune.environ.get('VCLUST_ALIGN_MVF', 3))
+#                     votes needed for a fine block to elect a diagonal
+MIN_VOTES_C = int(_os_tune.environ.get('VCLUST_ALIGN_MVC', 4))
+#                     votes needed for a coarse block to elect a diagonal
+#                     (scaled with the 1/4 stratified sampling rate: the
+#                     expected matched votes per block are C/FINE of all
+#                     matching positions)
 EXT_ITERS = 3       # neighbor-diagonal propagation passes (the raster
 #                     analog of factor extension across block boundaries:
 #                     a block may adopt an adjacent block's diagonal when
@@ -224,33 +253,34 @@ def _rev_next_idx(flag, iota, none_val):
 # the per-row core: 1 reference x K queries
 # --------------------------------------------------------------------------
 
-def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
+def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, offset,
                   pack_bits):
     """Candidate diagonals for all K queries against one reference strand.
 
-    sv: (Lr,) value-sorted reference seed values (BIG where invalid);
-    pk1/pk2: packed (value, pos) / (value, prev-pos) arrays aligned to sv;
-    qsv_flat: (K*Ls,) strided query seed values in query order (-1 invalid);
-    qslot: (K*Ls,) flat query slot ids. Returns (K, Ls, 2) int32 diagonal
-    codes (BIG where invalid), offset added for the strand.
+    sv: (NR,) value-sorted sampled reference seed values (BIG where
+    invalid); pk1/pk2: packed (value, pos) / (value, prev-pos) arrays
+    aligned to sv; key_q: (K*NQ,) prebuilt query sort keys
+    (value<<6 | in-block-offset<<1 | 1; odd sentinel where invalid —
+    every query slot must stay a query slot so the post-sort [:K*NQ]
+    compaction slice aligns); qslot: (K*NQ,) flat query slot ids.
+    Returns (K, NQ, 2) int32 diagonal codes (BIG where invalid), offset
+    added for the strand.
     """
     bigkey = jnp.int32(2 ** 30)     # even → parses as a non-query slot
-    key_ref = jnp.where(sv < BIG, sv * 2, bigkey)
-    # Invalid query entries keep an ODD sentinel: every query slot must
-    # stay a query slot so the post-sort [:K*Ls] compaction slice aligns.
-    key_q = jnp.where(qsv_flat >= 0, qsv_flat * 2 + 1, bigkey + 1)
+    key_ref = jnp.where(sv < BIG, sv << 6, bigkey)
     keys = jnp.concatenate([key_ref, key_q])
+    C = SEEDS_PER_BLOCK
     if pack_bits == 32:
-        zq = jnp.zeros(K * Ls, jnp.uint32)
+        zq = jnp.zeros(K * NQ, jnp.uint32)
         pay1 = jnp.concatenate([pk1, zq])
         pay2 = jnp.concatenate([pk2, zq])
-        pay3 = jnp.concatenate([jnp.full(Lr, BIG, jnp.int32), qslot])
+        pay3 = jnp.concatenate([jnp.full(NR, BIG, jnp.int32), qslot])
         sk, s1, s2, s3 = jax.lax.sort((keys, pay1, pay2, pay3), num_keys=1)
         c1 = jax.lax.cummax(s1)
         c2 = jax.lax.cummax(s2)
-        val = (sk >> 1)
+        val = (sk >> 6)
         is_q = (sk & 1) == 1
-        qpos = (s3 % Ls) * STRIDE
+        qpos = ((s3 % NQ) // C) * FINE + ((sk >> 1) & 31)
 
         def cand(c):
             # Positions pack as pos+1 so 0 stays the no-candidate sentinel
@@ -264,14 +294,14 @@ def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
 
         d1, d2 = cand(c1), cand(c2)
     else:
-        zq = jnp.zeros(K * Ls, jnp.int64)
+        zq = jnp.zeros(K * NQ, jnp.int64)
         pay = jnp.concatenate([pk1, zq])    # pk1 is the int64 triple pack
-        pay3 = jnp.concatenate([jnp.full(Lr, BIG, jnp.int32), qslot])
+        pay3 = jnp.concatenate([jnp.full(NR, BIG, jnp.int32), qslot])
         sk, s1, s3 = jax.lax.sort((keys, pay, pay3), num_keys=1)
         c = jax.lax.cummax(s1)
-        val = (sk >> 1)
+        val = (sk >> 6)
         is_q = (sk & 1) == 1
-        qpos = (s3 % Ls) * STRIDE
+        qpos = ((s3 % NQ) // C) * FINE + ((sk >> 1) & 31)
         cv = (c >> 40).astype(jnp.int32)
         cp = ((c >> 20) & 0xFFFFF).astype(jnp.int32)
         cq = (c & 0xFFFFF).astype(jnp.int32)
@@ -280,7 +310,7 @@ def _strand_votes(sv, pk1, pk2, qsv_flat, qslot, *, Lr, Ls, K, Lq, offset,
         d2 = jnp.where(ok & (cq > 0), cq - 1 - qpos + Lq + offset, BIG)
     k2 = jnp.where(is_q, s3, BIG)
     _, v1, v2 = jax.lax.sort((k2, d1, d2), num_keys=1)
-    return jnp.stack([v1[:K * Ls], v2[:K * Ls]], axis=-1).reshape(K, Ls, 2)
+    return jnp.stack([v1[:K * NQ], v2[:K * NQ]], axis=-1).reshape(K, NQ, 2)
 
 
 def _elect(sd, cstride, min_votes, *, DSPAN, Lq):
@@ -341,25 +371,23 @@ def _elect(sd, cstride, min_votes, *, DSPAN, Lq):
 
 
 def _window_rows(r2dov, starts, strand, NRT):
-    """Reference bases on the elected diagonals, one 256-wide overlapped
-    row per fine block: full-lane row gather + 16x8 where-tree phase
-    select. starts: (rows,) window starts clipped to [-128, Lr-1] (row 0
-    per strand is an all-pad lead row, so slightly-negative windows read
-    pad bases that can never match); NRT = rows per strand."""
-    row = (starts + 128) >> 7              # in [0, NRT)
-    phase = starts + 128 - (row << 7)      # in [0, 128)
+    """Reference bases on the elected diagonals, one 64-wide overlapped
+    row per fine block: full-lane row gather + 5-step binary where-tree
+    phase select (the 32-spacing/64-wide layout moves 4x fewer bytes per
+    eval pass than the round-3 128/256 layout — the eval stage is
+    HBM-bound, tools/profile_align.py). starts: (rows,) window starts
+    clipped to [-FINE, Lr-1] (row 0 per strand is an all-pad lead row, so
+    slightly-negative windows read pad bases that can never match);
+    NRT = rows per strand."""
+    row = (starts + FINE) >> 5             # in [0, NRT)
+    phase = starts + FINE - (row << 5)     # in [0, 32)
     row = row + jnp.where(strand, NRT, 0)
-    cat = r2dov[row]                        # (rows, 256) int8 row gather
-    ph3 = phase >> 3
-    ph0 = phase & 7
-    sel = jnp.zeros(cat.shape[:-1] + (FINE + 8,), cat.dtype)
-    for s in range(16):
-        sel = jnp.where((ph3 == s)[..., None], cat[..., 8 * s:8 * s + FINE + 8],
-                        sel)
-    out = jnp.zeros(cat.shape[:-1] + (FINE,), cat.dtype)
-    for s in range(8):
-        out = jnp.where((ph0 == s)[..., None], sel[..., s:s + FINE], out)
-    return out
+    out = r2dov[row]                        # (rows, 64) int8 row gather
+    for bit in (16, 8, 4, 2, 1):
+        w = out.shape[-1] - bit
+        out = jnp.where((phase & bit > 0)[..., None], out[..., bit:],
+                        out[..., :w])
+    return out[..., :FINE]
 
 
 def _eval_on(q_fwd, r2dov, D, S, okb, rlen, qlens, *, K, Lq, Lr, NBF, NRT):
@@ -368,7 +396,7 @@ def _eval_on(q_fwd, r2dov, D, S, okb, rlen, qlens, *, K, Lq, Lr, NBF, NRT):
     iota = jnp.arange(Lq, dtype=jnp.int32)
     b0 = jnp.arange(NBF, dtype=jnp.int32) * FINE
     starts = b0[None, :] + D                       # (K, NBF) window starts
-    starts_c = jnp.clip(starts, -128, Lr - 1)
+    starts_c = jnp.clip(starts, -FINE, Lr - 1)
     rb = _window_rows(r2dov, starts_c.reshape(-1), S.reshape(-1), NRT)
     rb = rb.reshape(K, Lq)
     Dq = jnp.repeat(D, FINE, axis=-1)
@@ -385,35 +413,39 @@ _ABLATE = _os.environ.get('VCLUST_ALIGN_ABLATE', '')   # stage profiling
 
 
 def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
-              q_fwd, qsv, qlens, *, Lq, Lr, K, mqd, mrd, reg, pack_bits,
-              debug=False):
+              q_fwd, qsv, qoff, qlens, *, Lq, Lr, K, mqd, mrd, reg,
+              pack_bits, with_alns=False, debug=False):
     """Aggregates (n_alns, sum_match, sum_alnlen) for K directed pairs
     sharing one reference."""
-    Ls = Lq // STRIDE
+    C = SEEDS_PER_BLOCK
+    NQ = (Lq // FINE) * C
+    NR = (Lr // FINE) * C
     DSPAN = Lq + Lr + 64
     NBF = Lq // FINE
     NBC = Lq // BLOCK
     RATIO = BLOCK // FINE
-    NRT = Lr // 128 + 1            # window rows per strand (incl. lead pad)
+    NRT = Lr // FINE + 1           # window rows per strand (incl. lead pad)
     iota = jnp.arange(Lq, dtype=jnp.int32)
 
     # --- 1. seed votes: reference-amortized sort join -------------------
-    spos_grid = jnp.arange(Ls, dtype=jnp.int32)[None, :] * STRIDE
-    qs_ok = (qsv >= 0) & (spos_grid < qlens[:, None])
-    qsv_flat = jnp.where(qs_ok, qsv, -1).reshape(-1)
-    qslot = jnp.arange(K * Ls, dtype=jnp.int32)
-    sv_args = dict(Lr=Lr, Ls=Ls, K=K, Lq=Lq, pack_bits=pack_bits)
+    # Sampled query seeds beyond qlen see pad bases (code 4) and are
+    # already invalid (qsv = -1) from the index-time selection.
+    bigkey = jnp.int32(2 ** 30)
+    key_q = jnp.where(qsv >= 0, (qsv << 6) | (qoff << 1) | 1,
+                      bigkey + 1).reshape(-1)
+    qslot = jnp.arange(K * NQ, dtype=jnp.int32)
+    sv_args = dict(NR=NR, NQ=NQ, K=K, Lq=Lq, pack_bits=pack_bits)
     votes = jnp.concatenate(
-        [_strand_votes(sv_f, pk1_f, pk2_f, qsv_flat, qslot, offset=0,
+        [_strand_votes(sv_f, pk1_f, pk2_f, key_q, qslot, offset=0,
                        **sv_args),
-         _strand_votes(sv_r, pk1_r, pk2_r, qsv_flat, qslot, offset=DSPAN,
-                       **sv_args)], axis=-1)       # (K, Ls, 4)
+         _strand_votes(sv_r, pk1_r, pk2_r, key_q, qslot, offset=DSPAN,
+                       **sv_args)], axis=-1)       # (K, NQ, 4)
     if _ABLATE == 'join':
         s = jnp.sum(jnp.where(votes < BIG, 1, 0), axis=(1, 2))
         return jnp.stack([s, s, s], axis=-1)
 
     # --- 2. two-scale block diagonal election ---------------------------
-    vpb_f = (FINE // STRIDE) * 2 * CANDS
+    vpb_f = C * 2 * CANDS
     sd_f = jnp.sort(votes.reshape(K * NBF, vpb_f), axis=-1)
     A_f, S_f, D_f, vb_f, _ = _elect(sd_f, 1, MIN_VOTES_F, DSPAN=DSPAN,
                                     Lq=Lq)
@@ -554,32 +586,79 @@ def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
                     seg_start=seg_start, e_flag=e_flag, votes=votes,
                     n_alns=n_alns, sum_match=sum_match,
                     sum_alnlen=sum_alnlen)
-    return jnp.stack([n_alns, sum_match, sum_alnlen], axis=-1)  # (K, 3)
+    agg = jnp.stack([n_alns, sum_match, sum_alnlen], axis=-1)  # (K, 3)
+    if not with_alns:
+        return agg
+
+    # --- 7. per-segment records (the lz-ani --out-alignment contract,
+    # reference vclust.py:1127-1133): each accepted segment has exactly
+    # one accepted e_flag; compact those positions with one sort, then
+    # decode (qstart, qend, rstart, rend, nt_match, nt_mismatch) from a
+    # handful of per-record gathers. Off the aggregate hot path (compiled
+    # only when alignment rows are requested).
+    macc = (m & acc_cov).astype(jnp.int32)
+    cm = jnp.cumsum(macc, axis=-1)                 # inclusive prefix
+    cm_excl = cm - macc
+    # Per-position effective diagonal/strand (switch-point refined).
+    tq = jnp.repeat(jnp.minimum(tstar.reshape(K, NBF), FINE), FINE,
+                    axis=-1)
+    in_pre = (iota[None, :] % FINE) < tq
+    Drep = jnp.repeat(D, FINE, axis=-1)
+    Dprep = jnp.repeat(Dp, FINE, axis=-1)
+    Srep = jnp.repeat(S, FINE, axis=-1)
+    Sprep = jnp.repeat(Sp, FINE, axis=-1)
+    D_eff = jnp.where(in_pre, Dprep, Drep)
+    S_eff = jnp.where(in_pre, Sprep, Srep)
+    rec = e_flag & acc_cov
+    key = jnp.where(rec, iota[None, :], BIG)
+    p_start = jnp.where(rec, lastS, -1)
+    k_s, r_end, r_start = jax.lax.sort(
+        (key, jnp.broadcast_to(iota[None, :], key.shape), p_start),
+        num_keys=1, dimension=1)
+    MAXSEG = min(Lq // max(reg, 16) + 8, 2048)
+    r_end = jnp.where(k_s[:, :MAXSEG] < BIG, r_end[:, :MAXSEG], -1)
+    r_start = jnp.where(r_end >= 0, r_start[:, :MAXSEG], -1)
+    g = lambda a, idx: jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=1)
+    nt = g(cm, r_end) - g(cm_excl, r_start)
+    d_s = g(D_eff, r_start)
+    d_e = g(D_eff, r_end)
+    strand = g(S_eff, r_start)
+    rj_s = r_start + d_s
+    rj_e = r_end + d_e
+    rstart = jnp.where(strand, rlen - 1 - rj_s, rj_s)
+    rend = jnp.where(strand, rlen - 1 - rj_e, rj_e)
+    alnlen = r_end - r_start + 1
+    recs = jnp.stack(
+        [r_start, r_end, rstart, rend, nt, alnlen - nt], axis=-1)
+    recs = jnp.where((r_start >= 0)[..., None], recs, -1)
+    return agg, recs                               # (K, 3), (K, MAXSEG, 6)
 
 
 def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
                     r_rows, rlens, q_rows, qlens,
-                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits):
+                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits,
+                    with_alns=False):
     """One device program for a chunk of dispatch rows: vmap over B rows,
     each row = one reference x K queries. r_rows/rlens: (B,), q_rows/qlens:
-    (B, K). Returns (B, K, 3)."""
+    (B, K). Returns (B, K, 3), plus (B, K, MAXSEG, 6) when with_alns."""
     core = partial(_row_core, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                   pack_bits=pack_bits)
+                   pack_bits=pack_bits, with_alns=with_alns)
 
     def row(rr, rl, qr, ql):
         return core(sv_f[rr], pk1_f[rr], pk2_f[rr], sv_r[rr], pk1_r[rr],
                     pk2_r[rr], r2dov[rr], rl, qv['fwd'][qr], qv['qsv'][qr],
-                    ql)
+                    qv['qoff'][qr], ql)
 
     return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
 
 
 _group_run = jax.jit(_group_run_body, static_argnames=(
-    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits'))
+    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits', 'with_alns'))
 
 
 @lru_cache(maxsize=128)
-def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits):
+def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
+                            with_alns=False):
     """Pair-grid data parallelism over the mesh: the row axis of one
     bucket-combination group is sharded across devices; the genome arena
     is replicated (the sketch-allgather design of SURVEY.md section 7 —
@@ -589,29 +668,53 @@ def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits):
 
     axis = mesh.axis_names[0]
     body = partial(_group_run_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
-                   reg=reg, pack_bits=pack_bits)
-    rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P()},)
+                   reg=reg, pack_bits=pack_bits, with_alns=with_alns)
+    rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P(), 'qoff': P()},)
     sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
+    out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
+        else P(axis, None, None)
     return jax.jit(shard_map(
-        body, mesh=mesh, in_specs=rep + sharded,
-        out_specs=P(axis, None, None)))
+        body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
 
 
 @partial(jax.jit, static_argnames=('k', 'pack_bits'))
 def _index_block(fwd, rc, k: int, pack_bits: int):
-    """Per-genome device index build for one bucket chunk: strided query
-    seed values plus, per strand, value-sorted packed candidate arrays and
-    the overlapped eval window rows."""
+    """Per-genome device index build for one bucket chunk: stratified
+    sampled query seeds (top-C per fine block by value hash) plus, per
+    strand, value-sorted packed candidate arrays over the same sampling
+    and the overlapped eval window rows. Sampling by VALUE keeps the two
+    join sides consistent: a matching seed is kept or dropped on both
+    sides together (ties inside a block resolve by position via the
+    stable sort, so the selection is deterministic)."""
     G, Lp = fwd.shape
+    C = SEEDS_PER_BLOCK
+    NBF = Lp // FINE
+    NQ = NBF * C
     kv = jax.vmap(partial(kmer_vals, k=k))
     qv_f = kv(fwd)
     qv_r = kv(rc)
-    qsv = qv_f[:, ::STRIDE]
-    iota = jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32), (G, Lp))
+
+    def select(qv_s):
+        """Top-C seeds per fine block by value hash: (vals, offs) with
+        vals = -1 where the block has fewer than C valid seeds."""
+        v = qv_s.reshape(G, NBF, FINE)
+        h = ((v.astype(jnp.uint32) * jnp.uint32(2654435761))
+             >> 16).astype(jnp.int32)
+        h = jnp.where(v < 0, BIG, h)
+        off0 = jnp.broadcast_to(jnp.arange(FINE, dtype=jnp.int32), v.shape)
+        hs, offs, vals = jax.lax.sort((h, off0, v), num_keys=1, dimension=2)
+        sel_valid = hs[:, :, :C].reshape(G, NQ) < BIG
+        sel_v = jnp.where(sel_valid, vals[:, :, :C].reshape(G, NQ), -1)
+        return sel_v, offs[:, :, :C].reshape(G, NQ)
+
+    qsv, qoff = select(qv_f)
 
     def strand(qv_s):
-        vs = jnp.where(qv_s < 0, BIG, qv_s)
-        sv, spos = jax.lax.sort((vs, iota), num_keys=1, dimension=1)
+        sel_v, sel_off = select(qv_s)
+        pos = ((jnp.arange(NQ, dtype=jnp.int32) // C) * FINE)[None, :] \
+            + sel_off
+        vs = jnp.where(sel_v < 0, BIG, sel_v)
+        sv, spos = jax.lax.sort((vs, pos), num_keys=1, dimension=1)
         prev_same = jnp.concatenate(
             [jnp.zeros((G, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
         spred = jnp.where(prev_same, _sh_r(spos, 1, jnp.int32(0)), -1)
@@ -639,19 +742,19 @@ def _index_block(fwd, rc, k: int, pack_bits: int):
     sv_f, pk1_f, pk2_f = strand(qv_f)
     sv_r, pk1_r, pk2_r = strand(qv_r)
 
-    # Overlapped 256-wide window rows (both strands stacked), with one
-    # all-pad lead row per strand so slightly-negative window starts read
-    # never-matching pad bases instead of wrapping.
-    pad = jnp.full((G, 128), 4, jnp.int8)
-    lead = jnp.full((G, 1, 256), 4, jnp.int8)
+    # Overlapped 64-wide window rows per 32 positions (both strands
+    # stacked), with one all-pad lead row per strand so slightly-negative
+    # window starts read never-matching pad bases instead of wrapping.
+    pad = jnp.full((G, FINE), 4, jnp.int8)
+    lead = jnp.full((G, 1, 2 * FINE), 4, jnp.int8)
 
     def rows(codes):
-        a = jnp.concatenate([codes, pad], axis=1).reshape(G, -1, 128)
+        a = jnp.concatenate([codes, pad], axis=1).reshape(G, -1, FINE)
         ov = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=-1)
         return jnp.concatenate([lead, ov], axis=1)
 
     r2dov = jnp.concatenate([rows(fwd), rows(rc)], axis=1)
-    return qsv, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov
+    return qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov
 
 
 class GenomeIndexTPU:
@@ -693,32 +796,41 @@ class GenomeIndexTPU:
                     parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
                                               rc_d[lo:lo + rows_chunk], k,
                                               pack_bits))
-            qsv, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
+            qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
                 jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
                 for xs in zip(*parts))
             self.bucket[Lp] = dict(
-                fwd=fwd_d, qsv=qsv, sv_f=sv_f, pk1_f=pk1_f, pk2_f=pk2_f,
-                sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r, r2dov=r2dov,
-                pack_bits=pack_bits)
+                fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
+                pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
+                r2dov=r2dov, pack_bits=pack_bits)
 
 
 def _batch_rows(Lq: int, Lr: int, K: int) -> int:
     """Dispatch rows per chunk: bound the sort working set (~8M join
     entries per dispatch) so device work per dispatch stays >> launch
     overhead at every bucket size without blowing HBM."""
-    W = Lr + K * (Lq // STRIDE)
+    C = SEEDS_PER_BLOCK
+    W = (Lr // FINE) * C + K * (Lq // FINE) * C
     return max(4, min(128, (1 << 23) // W))
 
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 params: Optional[AlignParams] = None,
                 index: Optional[GenomeIndexTPU] = None,
-                mesh=None) -> np.ndarray:
+                mesh=None, keep_alignments: bool = False):
     """All-vs-all aggregates on TPU for unordered candidate `pairs` over
     ids-ordered genomes. Returns int64 array (len(pairs), 6) with columns
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
     as lz_native.all2all_native's aggregate output. With `mesh`, each
-    group's row axis is sharded over the mesh devices."""
+    group's row axis is sharded over the mesh devices.
+
+    keep_alignments=True additionally returns (aln_rows, aln_counts) in
+    lz_native's layout (reference --out-alignment contract,
+    vclust.py:1127-1133): aln_rows int32 (N, 6) = (qstart, qend, rstart,
+    rend, nt_match, nt_mismatch), 0-based, reverse strand as
+    rstart > rend; aln_counts (2 * len(pairs),) rows per directed task,
+    (q=j,r=i) first. Segments past the per-pair record cap (MAXSEG) are
+    dropped from the rows (aggregates stay exact)."""
     params = params or AlignParams()
     mqd, mrd, reg = params.mqd, params.mrd, params.reg
     idx = index or GenomeIndexTPU(codes_list)
@@ -771,9 +883,9 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 qlens[w, t_i] = lens[qi]
         arena = (br['sv_f'], br['pk1_f'], br['pk2_f'], br['sv_r'],
                  br['pk1_r'], br['pk2_r'], br['r2dov'],
-                 {'fwd': bq['fwd'], 'qsv': bq['qsv']})
+                 {'fwd': bq['fwd'], 'qsv': bq['qsv'], 'qoff': bq['qoff']})
         static = dict(Lq=kq, Lr=kr, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                      pack_bits=br['pack_bits'])
+                      pack_bits=br['pack_bits'], with_alns=keep_alignments)
         if mesh is not None:
             from ..parallel.distributed import replicate, shard_rows
             run = _make_sharded_group_run(mesh, **static)
@@ -794,9 +906,35 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                     place(q_rows[lo:hi]), place(qlens[lo:hi])))
         pending.append((results, rows, B, K))
     from ..parallel.distributed import fetch
+    task_alns = {}   # (prow, col) -> (n, 6) int32 records
     for results, rows, B, K in pending:   # transfers post-dispatch
-        flat = np.concatenate([fetch(r).reshape(-1, K, 3) for r in results])
+        if keep_alignments:
+            flat = np.concatenate(
+                [fetch(r[0]).reshape(-1, K, 3) for r in results])
+            recs = np.concatenate(
+                [np.asarray(fetch(r[1])).reshape(-1, K,
+                                                 *r[1].shape[2:])
+                 for r in results])
+        else:
+            flat = np.concatenate(
+                [fetch(r).reshape(-1, K, 3) for r in results])
         for w, (_ri, ts) in enumerate(rows):
             for t_i, (_qi, prow, col) in enumerate(ts):
                 out[prow, col:col + 3] = flat[w, t_i]
-    return out
+                if keep_alignments:
+                    rr = recs[w, t_i]
+                    task_alns[(prow, col)] = rr[rr[:, 0] >= 0]
+    if not keep_alignments:
+        return out
+    counts = np.zeros(2 * len(pairs), dtype=np.int64)
+    blocks = []
+    for prow in range(len(pairs)):
+        for d, col in enumerate((0, 3)):
+            blk = task_alns.get((prow, col))
+            if blk is None:
+                blk = np.empty((0, 6), np.int32)
+            counts[2 * prow + d] = len(blk)
+            blocks.append(blk)
+    aln_rows = (np.concatenate(blocks) if blocks
+                else np.empty((0, 6), np.int32))
+    return out, (aln_rows, counts)

@@ -129,6 +129,29 @@ def validate_device_counts(base_sets):
     assert (got == expect).all(), 'device counts != host counts (weighted)'
 
 
+def bench_scaling():
+    """1/2/4/8-device rates on the virtual CPU mesh (tools/scaling_bench
+    subprocess — the TPU plugin pins this process's platform); wall-clock
+    efficiency there is bounded by the host's physical cores, but the
+    numbers pin that the sharded path distributes work and adds no
+    superlinear overhead (BASELINE.md multi-host target)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+    try:
+        r = subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools', 'scaling_bench.py')],
+            capture_output=True, text=True, timeout=900)
+        lines = [l for l in r.stdout.splitlines() if l.startswith('{')]
+        return ({'scaling': _json.loads(lines[-1])} if lines
+                else {'scaling_error': r.stderr[-200:]})
+    except Exception as exc:   # pragma: no cover - diagnostics only
+        return {'scaling_error': str(exc)[:200]}
+
+
 def main():
     import numpy as np
     from vclust_tpu.models.input import load_genomes
@@ -145,6 +168,7 @@ def main():
     contig_align = bench_align_tpu(make_contig_corpus(),
                                    prefix='tpu_align_contig')
     native_align = bench_align_native(align_corpus)
+    scaling = bench_scaling()
 
     # Replicate with distinct hash offsets so the universe stays realistic.
     REP = 128
@@ -183,7 +207,8 @@ def main():
                        n_pairs / (t_build + dt), 1),
                    'pattern_dedup_ratio': round(index.dedup_ratio, 2),
                    'device_counts_validated': True,
-                   **tpu_align, **contig_align, **native_align},
+                   **tpu_align, **contig_align, **native_align,
+                   **scaling},
     }))
 
 

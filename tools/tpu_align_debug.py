@@ -60,10 +60,11 @@ def tpu_debug_pair(q_codes, r_codes, params):
     import jax.numpy as jnp
     idx = align_tpu.GenomeIndexTPU([np.asarray(q_codes, np.int8),
                                     np.asarray(r_codes, np.int8)])
-    Lq = align_tpu._pad_bucket(len(q_codes))
-    Lr = align_tpu._pad_bucket(len(r_codes))
-    bq, br = idx.bucket[Lq], idx.bucket[Lr]
-    qrow, rrow = idx.row[0], idx.row[1]
+    Lq = Lr = max(align_tpu._pad_bucket(len(q_codes)),
+                  align_tpu._pad_bucket(len(r_codes)))
+    b = idx.ensure(Lq, [0, 1])
+    bq = br = b
+    qrow, rrow = b['rows'][0], b['rows'][1]
     core = jax.jit(partial(
         align_tpu._row_core, Lq=Lq, Lr=Lr, K=1, mqd=params.mqd,
         mrd=params.mrd, reg=params.reg, pack_bits=br['pack_bits'],
@@ -72,6 +73,7 @@ def tpu_debug_pair(q_codes, r_codes, params):
                 br['sv_r'][rrow], br['pk1_r'][rrow], br['pk2_r'][rrow],
                 br['r2dov'][rrow], jnp.int32(len(r_codes)),
                 bq['fwd'][qrow:qrow + 1], bq['qsv'][qrow:qrow + 1],
+                bq['qoff'][qrow:qrow + 1],
                 jnp.array([len(q_codes)], np.int32))
 
 

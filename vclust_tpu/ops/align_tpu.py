@@ -118,7 +118,8 @@ MIN_VOTES_C = int(_os_tune.environ.get('VCLUST_ALIGN_MVC', 4))
 #                     (scaled with the 1/4 stratified sampling rate: the
 #                     expected matched votes per block are C/FINE of all
 #                     matching positions)
-EXT_ITERS = 3       # neighbor-diagonal propagation passes (the raster
+EXT_ITERS = int(_os_tune.environ.get('VCLUST_ALIGN_EXTI', 3))
+#                     neighbor-diagonal propagation passes (the raster
 #                     analog of factor extension across block boundaries:
 #                     a block may adopt an adjacent block's diagonal when
 #                     it out-matches its own election)
@@ -480,29 +481,38 @@ def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
     # vote clusters, so it cannot introduce new homology.
     ev = dict(K=K, Lq=Lq, Lr=Lr, NBF=NBF, NRT=NRT)
 
-    def block_counts(Db, Sb, Ab):
+    def block_flags(Db, Sb, Ab):
         mm = _eval_on(q_fwd, r2dov, Db, Sb, Ab, rlen, qlens, **ev)
-        return jnp.sum(mm.reshape(K, NBF, FINE).astype(jnp.int32), axis=-1)
+        return mm, jnp.sum(mm.reshape(K, NBF, FINE).astype(jnp.int32),
+                           axis=-1)
 
-    cnt_cur = jnp.where(A, block_counts(D, S, A), -1)
+    # Per-position flags ride along with the counts so the final m1 needs
+    # no recompute: F always holds the flags of the current winner.
+    # (Measured: wrapping this iteration in lax.fori_loop DOUBLES the
+    # cold-compile time on v5e instead of shrinking it — the loop
+    # boundary defeats fusion and triggers a slower compile path — so the
+    # EXT_ITERS*2 trips stay unrolled.)
+    F, cnt0 = block_flags(D, S, A)
+    cnt_cur = jnp.where(A, cnt0, -1)
     for _ in range(EXT_ITERS):
-        for shf, fill in ((_sh_r, jnp.int32(0)), (_sh_l, jnp.int32(0))):
-            Dc = shf(D, 1, fill)
+        for shf in (_sh_r, _sh_l):
+            Dc = shf(D, 1, jnp.int32(0))
             Sc = shf(S, 1, False)
             Ac = shf(A, 1, False)
-            cntc = block_counts(Dc, Sc, Ac)
+            mmc, cntc = block_flags(Dc, Sc, Ac)
             better = Ac & (cntc >= EXT_MIN) & (cntc > cnt_cur + EXT_MARGIN)
             D = jnp.where(better, Dc, D)
             S = jnp.where(better, Sc, S)
             A = A | better
             cnt_cur = jnp.where(better, cntc, cnt_cur)
+            F = jnp.where(jnp.repeat(better, FINE, axis=-1), mmc, F)
 
     Ap = _sh_r(A, 1, False)
     Sp = _sh_r(S, 1, False)
     Dp = _sh_r(D, 1, jnp.int32(0))
 
     # --- 3. per-position match flags with single-switch refinement ------
-    m1 = _eval_on(q_fwd, r2dov, D, S, A, rlen, qlens, **ev)
+    m1 = F
     switchable = A & Ap & ((D != Dp) | (S != Sp))
     m0 = _eval_on(q_fwd, r2dov, Dp, Sp, switchable, rlen, qlens, **ev)
     m0b = m0.reshape(K * NBF, FINE).astype(jnp.int32)
@@ -758,51 +768,60 @@ def _index_block(fwd, rc, k: int, pack_bits: int):
 
 
 class GenomeIndexTPU:
-    """Device-resident per-bucket genome arena: padded codes, strided seed
-    values (query role) and per-strand value-sorted packed candidate arrays
-    + overlapped window rows (reference role). Built once; reused across
-    every pair the genome joins."""
+    """Device-resident per-bucket genome arena: padded codes, sampled
+    query seed arrays and per-strand value-sorted packed candidate arrays
+    + overlapped window rows (reference role). Buckets build LAZILY:
+    all2all_tpu pads every pair to its max bucket (round 4), so only the
+    diagonal (B, B) bucket programs compile — half the round-3 program
+    count — and a genome is indexed at exactly the bucket sizes its pairs
+    need. Each (bucket, genome-set) build is cached on the index."""
 
     def __init__(self, codes_list: Sequence[np.ndarray], k: int = SEED_K,
                  rows_chunk: int = 512):
-        from ..core.seq import revcomp_codes
         self.k = k
-        self.lens = np.array([len(c) for c in codes_list], dtype=np.int32)
-        self.bucket = {}   # Lp -> dict of stacked device arrays
-        self.row = {}      # genome idx -> row within its bucket
+        self.rows_chunk = rows_chunk
+        self.codes = [np.asarray(c, dtype=np.int8) for c in codes_list]
+        self.lens = np.array([len(c) for c in self.codes], dtype=np.int32)
+        self.bucket = {}   # Lp -> dict of stacked device arrays + row map
         # Genomes beyond the seed-pack position range are not indexed;
         # all2all_tpu rejects pairs touching them (models/align.py routes
         # such pairs to the exact native engine instead).
-        self.oversized = {i for i, c in enumerate(codes_list)
+        self.oversized = {i for i, c in enumerate(self.codes)
                           if len(c) > MAX_TPU_LEN}
-        members: Dict[int, List[int]] = {}
-        for i, c in enumerate(codes_list):
-            if i not in self.oversized:
-                members.setdefault(_pad_bucket(len(c)), []).append(i)
-        for Lp, idxs in members.items():
-            G = len(idxs)
-            pack_bits = 32 if Lp <= 65536 else 64
-            fwd = np.full((G, Lp), 4, dtype=np.int8)
-            rc = np.full((G, Lp), 4, dtype=np.int8)
-            for row, i in enumerate(idxs):
-                fwd[row, :self.lens[i]] = codes_list[i]
-                rc[row, :self.lens[i]] = revcomp_codes(codes_list[i])
-                self.row[i] = row
-            fwd_d = jnp.asarray(fwd)
-            rc_d = jnp.asarray(rc)
-            parts = []
-            with _x64(pack_bits):
-                for lo in range(0, G, rows_chunk):
-                    parts.append(_index_block(fwd_d[lo:lo + rows_chunk],
-                                              rc_d[lo:lo + rows_chunk], k,
-                                              pack_bits))
-            qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
-                jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
-                for xs in zip(*parts))
-            self.bucket[Lp] = dict(
-                fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
-                pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
-                r2dov=r2dov, pack_bits=pack_bits)
+
+    def ensure(self, Lp: int, gids) -> dict:
+        """Arrays for bucket Lp covering at least genomes `gids`."""
+        from ..core.seq import revcomp_codes
+        cur = self.bucket.get(Lp)
+        need = set(int(g) for g in gids)
+        if cur is not None and need <= cur['rows'].keys():
+            return cur
+        members = sorted(need | (set(cur['rows']) if cur else set()))
+        G = len(members)
+        pack_bits = 32 if Lp <= 65536 else 64
+        fwd = np.full((G, Lp), 4, dtype=np.int8)
+        rc = np.full((G, Lp), 4, dtype=np.int8)
+        rows = {}
+        for row, i in enumerate(members):
+            fwd[row, :self.lens[i]] = self.codes[i]
+            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
+            rows[i] = row
+        fwd_d = jnp.asarray(fwd)
+        rc_d = jnp.asarray(rc)
+        parts = []
+        with _x64(pack_bits):
+            for lo in range(0, G, self.rows_chunk):
+                parts.append(_index_block(fwd_d[lo:lo + self.rows_chunk],
+                                          rc_d[lo:lo + self.rows_chunk],
+                                          self.k, pack_bits))
+        qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
+            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+            for xs in zip(*parts))
+        d = dict(fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
+                 pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
+                 r2dov=r2dov, pack_bits=pack_bits, rows=rows)
+        self.bucket[Lp] = d
+        return d
 
 
 def _batch_rows(Lq: int, Lr: int, K: int) -> int:
@@ -839,9 +858,11 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     if n_dev <= 1:
         mesh = None
 
-    # Directed tasks grouped by bucket combination, then by reference
-    # genome so each dispatch row amortizes its reference join K ways.
-    groups: Dict[Tuple[int, int], Dict[int, List]] = {}
+    # Directed tasks grouped by the PAIR's max bucket (both sides padded
+    # to it, so only diagonal (B, B) programs ever compile), then by
+    # reference genome so each dispatch row amortizes its reference join
+    # K ways.
+    groups: Dict[int, Dict[int, List]] = {}
     for prow, (i, j) in enumerate(pairs):
         i, j = int(i), int(j)
         if i in idx.oversized or j in idx.oversized:
@@ -849,15 +870,18 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 f'pair ({i}, {j}) touches a genome longer than '
                 f'{MAX_TPU_LEN} bases — beyond the TPU engine\'s seed-pack '
                 f'position range; align it with the native engine')
+        kb = max(_pad_bucket(lens[i]), _pad_bucket(lens[j]))
         for (qi, ri, col) in ((j, i, 0), (i, j, 3)):
-            kq, kr = _pad_bucket(lens[qi]), _pad_bucket(lens[ri])
-            groups.setdefault((kq, kr), {}).setdefault(ri, []).append(
+            groups.setdefault(kb, {}).setdefault(ri, []).append(
                 (qi, prow, col))
 
     out = np.zeros((len(pairs), 6), dtype=np.int64)
     pending = []   # (device results list, row task lists)
-    for (kq, kr), by_ref in sorted(groups.items()):
-        bq, br = idx.bucket[kq], idx.bucket[kr]
+    for kb, by_ref in sorted(groups.items()):
+        gids = set(by_ref)
+        for ts in by_ref.values():
+            gids.update(qi for (qi, _p, _c) in ts)
+        b = idx.ensure(kb, gids)
         K = K_QUERIES
         max_tasks = max(len(ts) for ts in by_ref.values())
         if max_tasks < K:
@@ -867,7 +891,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             ts = by_ref[ri]
             for lo in range(0, len(ts), K):
                 rows.append((ri, ts[lo:lo + K]))
-        B = _batch_rows(kq, kr, K)
+        B = _batch_rows(kb, kb, K)
         if mesh is not None:
             B = max(B // n_dev, 1) * n_dev
         n_disp = -(-len(rows) // B)
@@ -876,16 +900,16 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         q_rows = np.zeros((n_disp * B, K), np.int32)
         qlens = np.zeros((n_disp * B, K), np.int32)
         for w, (ri, ts) in enumerate(rows):
-            r_rows[w] = idx.row[ri]
+            r_rows[w] = b['rows'][ri]
             rlens[w] = lens[ri]
             for t_i, (qi, _prow, _col) in enumerate(ts):
-                q_rows[w, t_i] = idx.row[qi]
+                q_rows[w, t_i] = b['rows'][qi]
                 qlens[w, t_i] = lens[qi]
-        arena = (br['sv_f'], br['pk1_f'], br['pk2_f'], br['sv_r'],
-                 br['pk1_r'], br['pk2_r'], br['r2dov'],
-                 {'fwd': bq['fwd'], 'qsv': bq['qsv'], 'qoff': bq['qoff']})
-        static = dict(Lq=kq, Lr=kr, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                      pack_bits=br['pack_bits'], with_alns=keep_alignments)
+        arena = (b['sv_f'], b['pk1_f'], b['pk2_f'], b['sv_r'],
+                 b['pk1_r'], b['pk2_r'], b['r2dov'],
+                 {'fwd': b['fwd'], 'qsv': b['qsv'], 'qoff': b['qoff']})
+        static = dict(Lq=kb, Lr=kb, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                      pack_bits=b['pack_bits'], with_alns=keep_alignments)
         if mesh is not None:
             from ..parallel.distributed import replicate, shard_rows
             run = _make_sharded_group_run(mesh, **static)
@@ -898,7 +922,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             run = partial(_group_run, **static)
             place = jnp.asarray
         results = []
-        with _x64(br['pack_bits']):
+        with _x64(b['pack_bits']):
             for d in range(n_disp):
                 lo, hi = d * B, (d + 1) * B
                 results.append(run(

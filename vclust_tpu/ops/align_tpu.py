@@ -875,13 +875,19 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             groups.setdefault(kb, {}).setdefault(ri, []).append(
                 (qi, prow, col))
 
+    import time as _time
+    _timing = _os_tune.environ.get('VCLUST_ALIGN_TIMING')
     out = np.zeros((len(pairs), 6), dtype=np.int64)
     pending = []   # (device results list, row task lists)
     for kb, by_ref in sorted(groups.items()):
         gids = set(by_ref)
         for ts in by_ref.values():
             gids.update(qi for (qi, _p, _c) in ts)
+        _t0 = _time.time()
         b = idx.ensure(kb, gids)
+        if _timing:
+            print(f'[timing] ensure({kb}, {len(gids)}): '
+                  f'{_time.time() - _t0:.1f}s', flush=True)
         K = K_QUERIES
         max_tasks = max(len(ts) for ts in by_ref.values())
         if max_tasks < K:
@@ -924,12 +930,20 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         results = []
         with _x64(b['pack_bits']):
             for d in range(n_disp):
+                _t0 = _time.time()
                 lo, hi = d * B, (d + 1) * B
                 results.append(run(
                     *arena, place(r_rows[lo:hi]), place(rlens[lo:hi]),
                     place(q_rows[lo:hi]), place(qlens[lo:hi])))
+                if _timing:
+                    results[-1][0].block_until_ready() if keep_alignments \
+                        else results[-1].block_until_ready()
+                    print(f'[timing] group({kb}) K={K} B={B} disp {d}: '
+                          f'{_time.time() - _t0:.1f}s', flush=True)
         pending.append((results, rows, B, K))
     from ..parallel.distributed import fetch
+    if _timing:
+        _t0 = _time.time()
     task_alns = {}   # (prow, col) -> (n, 6) int32 records
     for results, rows, B, K in pending:   # transfers post-dispatch
         if keep_alignments:
@@ -940,14 +954,25 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                                                  *r[1].shape[2:])
                  for r in results])
         else:
-            flat = np.concatenate(
-                [fetch(r).reshape(-1, K, 3) for r in results])
+            if _timing:
+                fl = []
+                for ri_, r in enumerate(results):
+                    _tf = _time.time()
+                    fl.append(fetch(r).reshape(-1, K, 3))
+                    print(f'[timing]   fetch item {ri_}: '
+                          f'{_time.time() - _tf:.1f}s', flush=True)
+                flat = np.concatenate(fl)
+            else:
+                flat = np.concatenate(
+                    [fetch(r).reshape(-1, K, 3) for r in results])
         for w, (_ri, ts) in enumerate(rows):
             for t_i, (_qi, prow, col) in enumerate(ts):
                 out[prow, col:col + 3] = flat[w, t_i]
                 if keep_alignments:
                     rr = recs[w, t_i]
                     task_alns[(prow, col)] = rr[rr[:, 0] >= 0]
+    if _timing:
+        print(f'[timing] fetch loop: {_time.time() - _t0:.1f}s', flush=True)
     if not keep_alignments:
         return out
     counts = np.zeros(2 * len(pairs), dtype=np.int64)

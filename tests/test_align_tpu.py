@@ -6,12 +6,12 @@ test.py:456-477, truth table example/README.txt) and additionally pins
 agreement with the exact engines on every example pair.
 
 Known residual: the densest-mutation pair (NC_025457.alt2 —
-sn;del;ins;dup;inv;tl) undercounts ~0.04 tANI because its alignment is a
-mosaic of sub-block islands on shifting diagonals that the block-level
-diagonal election misses; it is pinned at a wider bound below so
-regressions still fail (also stated in README.md's parity table). The
-exact engines (`native`/`py`) satisfy the ±0.007 contract on all 8 pairs
-and remain the default.
+sn;del;ins;dup;inv;tl) undercounts ~0.019 tANI (round 4; 0.045 in round
+3) because its alignment is a mosaic of sub-block islands on shifting
+diagonals that the block-level diagonal election partially misses; it is
+pinned at a ratcheted bound below so regressions still fail (also stated
+in README.md's parity table). The exact engines (`native`/`py`) satisfy
+the ±0.007 contract on all 8 pairs and remain the default.
 
 Runs on any backend (CPU via conftest forcing; the driver's bench runs
 the same engine on the real chip).
@@ -166,3 +166,66 @@ def test_oversized_genome_routes_to_native_engine():
     codes = [np.zeros((1 << 20) + 8, np.int8), np.zeros(1000, np.int8)]
     with _pytest.raises(ValueError):
         align_tpu.all2all_tpu(codes, np.array([[0, 1]], dtype=np.int32))
+
+
+def test_tpu_engine_multi_contig_genomes():
+    """Multi-contig genomes join with 64-N spacers (models/align.py
+    _CONTIG_JOIN); spacer windows yield invalid seeds and never-matching
+    bases, so no factor can span a contig boundary — the TPU engine must
+    agree with the exact engine on such genomes."""
+    import numpy as np
+    from vclust_tpu.models.input import Genome
+    from vclust_tpu.models.align import run_align
+    rng = np.random.default_rng(7)
+    acgt = np.frombuffer(b'ACGT', dtype='S1')
+    parts = [acgt[rng.integers(0, 4, n)] for n in (4000, 2500, 3000)]
+    g1 = Genome(name='multi', seqs=[p.tobytes() for p in parts])
+    mut_parts = []
+    for p in parts:
+        m = p.copy()
+        mask = rng.random(len(m)) < 0.04
+        m[mask] = acgt[rng.integers(0, 4, mask.sum())]
+        mut_parts.append(m)
+    # Mutated AND reordered contigs (translocation across parts).
+    g2 = Genome(name='multi.mut',
+                seqs=[mut_parts[1].tobytes(), mut_parts[0].tobytes(),
+                      mut_parts[2].tobytes()])
+    exact = {(r.query, r.reference): r
+             for r in run_align([g1, g2], engine='py').rows}
+    tpu = {(r.query, r.reference): r
+           for r in run_align([g1, g2], engine='tpu').rows}
+    for key, ex in exact.items():
+        assert key in tpu
+        assert abs(tpu[key].tani - ex.tani) <= 0.02, (
+            key, tpu[key].tani, ex.tani)
+    assert next(iter(exact.values())).tani > 0.8
+
+
+def test_two_phase_rerun_matches_full_density():
+    """The default two-phase path (sparse C=8 screen, weak-homology band
+    rerun at C=16) must return bit-identical aggregates to the
+    single-phase full-density run for pairs inside the rerun band."""
+    import numpy as np
+    from vclust_tpu.ops import align_tpu
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 4, 20000).astype(np.int8)
+    weak = base.copy()                      # ~75% identity -> in band
+    mask = rng.random(len(weak)) < 0.25
+    weak[mask] = rng.integers(0, 4, mask.sum())
+    strong = base.copy()                    # ~97% identity -> screened
+    mask = rng.random(len(strong)) < 0.03
+    strong[mask] = rng.integers(0, 4, mask.sum())
+    junk = rng.integers(0, 4, 20000).astype(np.int8)
+    codes = [base, weak, strong, junk]
+    pairs = np.array([(0, 1), (0, 2), (0, 3)], dtype=np.int32)
+    two = align_tpu.all2all_tpu(codes, pairs)
+    full = align_tpu.all2all_tpu(codes, pairs, seeds_per_block=16)
+    t_two = (two[:, 1] + two[:, 4]) / 40000
+    t_full = (full[:, 1] + full[:, 4]) / 40000
+    assert align_tpu.RERUN_LO < t_full[0] < align_tpu.RERUN_HI, t_full
+    # Weak pair: rerun at full density -> identical to single-phase.
+    np.testing.assert_array_equal(two[0], full[0])
+    # Strong pair keeps the sparse-screen result but stays accurate.
+    assert abs(t_two[1] - t_full[1]) <= 0.01
+    # Junk pair: below the band floor either way.
+    assert t_two[2] <= align_tpu.RERUN_LO

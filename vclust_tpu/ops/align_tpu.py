@@ -254,7 +254,7 @@ def _rev_next_idx(flag, iota, none_val):
 # the per-row core: 1 reference x K queries
 # --------------------------------------------------------------------------
 
-def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, offset,
+def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, C, offset,
                   pack_bits):
     """Candidate diagonals for all K queries against one reference strand.
 
@@ -270,7 +270,6 @@ def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, offset,
     bigkey = jnp.int32(2 ** 30)     # even → parses as a non-query slot
     key_ref = jnp.where(sv < BIG, sv << 6, bigkey)
     keys = jnp.concatenate([key_ref, key_q])
-    C = SEEDS_PER_BLOCK
     if pack_bits == 32:
         zq = jnp.zeros(K * NQ, jnp.uint32)
         pay1 = jnp.concatenate([pk1, zq])
@@ -415,10 +414,10 @@ _ABLATE = _os.environ.get('VCLUST_ALIGN_ABLATE', '')   # stage profiling
 
 def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
               q_fwd, qsv, qoff, qlens, *, Lq, Lr, K, mqd, mrd, reg,
-              pack_bits, with_alns=False, debug=False):
+              pack_bits, C=None, with_alns=False, debug=False):
     """Aggregates (n_alns, sum_match, sum_alnlen) for K directed pairs
     sharing one reference."""
-    C = SEEDS_PER_BLOCK
+    C = SEEDS_PER_BLOCK if C is None else C
     NQ = (Lq // FINE) * C
     NR = (Lr // FINE) * C
     DSPAN = Lq + Lr + 64
@@ -435,7 +434,8 @@ def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
     key_q = jnp.where(qsv >= 0, (qsv << 6) | (qoff << 1) | 1,
                       bigkey + 1).reshape(-1)
     qslot = jnp.arange(K * NQ, dtype=jnp.int32)
-    sv_args = dict(NR=NR, NQ=NQ, K=K, Lq=Lq, pack_bits=pack_bits)
+    sv_args = dict(NR=NR, NQ=NQ, K=K, Lq=Lq, C=C,
+                   pack_bits=pack_bits)
     votes = jnp.concatenate(
         [_strand_votes(sv_f, pk1_f, pk2_f, key_q, qslot, offset=0,
                        **sv_args),
@@ -646,13 +646,13 @@ def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
 
 def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
                     r_rows, rlens, q_rows, qlens,
-                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits,
+                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits, C=None,
                     with_alns=False):
     """One device program for a chunk of dispatch rows: vmap over B rows,
     each row = one reference x K queries. r_rows/rlens: (B,), q_rows/qlens:
     (B, K). Returns (B, K, 3), plus (B, K, MAXSEG, 6) when with_alns."""
     core = partial(_row_core, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                   pack_bits=pack_bits, with_alns=with_alns)
+                   pack_bits=pack_bits, C=C, with_alns=with_alns)
 
     def row(rr, rl, qr, ql):
         return core(sv_f[rr], pk1_f[rr], pk2_f[rr], sv_r[rr], pk1_r[rr],
@@ -663,12 +663,12 @@ def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
 
 
 _group_run = jax.jit(_group_run_body, static_argnames=(
-    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits', 'with_alns'))
+    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits', 'C', 'with_alns'))
 
 
 @lru_cache(maxsize=128)
 def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
-                            with_alns=False):
+                            C=None, with_alns=False):
     """Pair-grid data parallelism over the mesh: the row axis of one
     bucket-combination group is sharded across devices; the genome arena
     is replicated (the sketch-allgather design of SURVEY.md section 7 —
@@ -678,7 +678,7 @@ def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
 
     axis = mesh.axis_names[0]
     body = partial(_group_run_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
-                   reg=reg, pack_bits=pack_bits, with_alns=with_alns)
+                   reg=reg, pack_bits=pack_bits, C=C, with_alns=with_alns)
     rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P(), 'qoff': P()},)
     sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
     out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
@@ -687,8 +687,8 @@ def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
         body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
 
 
-@partial(jax.jit, static_argnames=('k', 'pack_bits'))
-def _index_block(fwd, rc, k: int, pack_bits: int):
+@partial(jax.jit, static_argnames=('k', 'pack_bits', 'C'))
+def _index_block(fwd, rc, k: int, pack_bits: int, C: int = None):
     """Per-genome device index build for one bucket chunk: stratified
     sampled query seeds (top-C per fine block by value hash) plus, per
     strand, value-sorted packed candidate arrays over the same sampling
@@ -697,7 +697,7 @@ def _index_block(fwd, rc, k: int, pack_bits: int):
     sides together (ties inside a block resolve by position via the
     stable sort, so the selection is deterministic)."""
     G, Lp = fwd.shape
-    C = SEEDS_PER_BLOCK
+    C = SEEDS_PER_BLOCK if C is None else C
     NBF = Lp // FINE
     NQ = NBF * C
     kv = jax.vmap(partial(kmer_vals, k=k))
@@ -789,10 +789,12 @@ class GenomeIndexTPU:
         self.oversized = {i for i, c in enumerate(self.codes)
                           if len(c) > MAX_TPU_LEN}
 
-    def ensure(self, Lp: int, gids) -> dict:
-        """Arrays for bucket Lp covering at least genomes `gids`."""
+    def ensure(self, Lp: int, gids, C: int = None) -> dict:
+        """Arrays for bucket Lp covering at least genomes `gids`, sampled
+        at C seeds per fine block (default SEEDS_PER_BLOCK)."""
         from ..core.seq import revcomp_codes
-        cur = self.bucket.get(Lp)
+        C = SEEDS_PER_BLOCK if C is None else C
+        cur = self.bucket.get((Lp, C))
         need = set(int(g) for g in gids)
         if cur is not None and need <= cur['rows'].keys():
             return cur
@@ -813,30 +815,87 @@ class GenomeIndexTPU:
             for lo in range(0, G, self.rows_chunk):
                 parts.append(_index_block(fwd_d[lo:lo + self.rows_chunk],
                                           rc_d[lo:lo + self.rows_chunk],
-                                          self.k, pack_bits))
+                                          self.k, pack_bits, C))
         qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
             jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
             for xs in zip(*parts))
         d = dict(fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
                  pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
                  r2dov=r2dov, pack_bits=pack_bits, rows=rows)
-        self.bucket[Lp] = d
+        self.bucket[(Lp, C)] = d
         return d
 
 
-def _batch_rows(Lq: int, Lr: int, K: int) -> int:
+def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
     """Dispatch rows per chunk: bound the sort working set (~8M join
     entries per dispatch) so device work per dispatch stays >> launch
-    overhead at every bucket size without blowing HBM."""
-    C = SEEDS_PER_BLOCK
+    overhead at every bucket size without blowing HBM (a 512-row cap was
+    measured SLOWER on the contig corpus — scheduling/HBM pressure beats
+    the saved dispatch latency)."""
     W = (Lr // FINE) * C + K * (Lq // FINE) * C
     return max(4, min(128, (1 << 23) // W))
+
+
+PHASE1_C = int(_os_tune.environ.get('VCLUST_ALIGN_P1C', 8))
+RERUN_LO = float(_os_tune.environ.get('VCLUST_ALIGN_RERUN_LO', 0.10))
+RERUN_HI = float(_os_tune.environ.get('VCLUST_ALIGN_RERUN_HI', 0.97))
+TWO_PHASE_MIN_BUCKET = int(_os_tune.environ.get('VCLUST_ALIGN_TP_MIN',
+                                                16384))
 
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 params: Optional[AlignParams] = None,
                 index: Optional[GenomeIndexTPU] = None,
-                mesh=None, keep_alignments: bool = False):
+                mesh=None, keep_alignments: bool = False,
+                seeds_per_block: Optional[int] = None):
+    """Two-phase all-vs-all (the default path): phase 1 screens EVERY
+    pair at sparse seed sampling (PHASE1_C = C/4 of the join width, ~half
+    the sort cost — measured accurate for strong homology and junk), then
+    phase 2 re-aligns only the weak-homology band (RERUN_LO < tANI <
+    RERUN_HI, where sparse sampling measurably starves the diagonal
+    election) at full density. All-vs-all corpora are dominated by junk +
+    strong-mutant pairs, so the rerun set is small. Explicit
+    `seeds_per_block`, `keep_alignments`, or VCLUST_ALIGN_TWO_PHASE=0
+    selects the single-phase path."""
+    idx = index or GenomeIndexTPU(codes_list)
+    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+    single = (seeds_per_block is not None or keep_alignments
+              or len(pairs) == 0
+              or _os_tune.environ.get('VCLUST_ALIGN_TWO_PHASE') == '0')
+    if single:
+        return _all2all_single(codes_list, pairs, params, idx, mesh,
+                               keep_alignments,
+                               seeds_per_block or SEEDS_PER_BLOCK)
+    lens = idx.lens.astype(np.int64)
+    # Small buckets are dispatch-latency-bound (measured: the screen's
+    # savings vanish below the per-dispatch floor), so two-phase applies
+    # only to pairs whose padded bucket reaches TWO_PHASE_MIN_BUCKET.
+    kb = np.array([max(_pad_bucket(int(lens[i])), _pad_bucket(int(lens[j])))
+                   for i, j in pairs], dtype=np.int64)
+    big = kb >= TWO_PHASE_MIN_BUCKET
+    out = np.zeros((len(pairs), 6), dtype=np.int64)
+    if (~big).any():
+        out[~big] = _all2all_single(codes_list, pairs[~big], params, idx,
+                                    mesh, False, SEEDS_PER_BLOCK)
+    if big.any():
+        pb = pairs[big]
+        o1 = _all2all_single(codes_list, pb, params, idx, mesh, False,
+                             PHASE1_C)
+        pair_len = lens[pb[:, 0]] + lens[pb[:, 1]]
+        tani1 = (o1[:, 1] + o1[:, 4]) / np.maximum(pair_len, 1)
+        band = (tani1 > RERUN_LO) & (tani1 < RERUN_HI)
+        if band.any():
+            o1[band] = _all2all_single(codes_list, pb[band], params, idx,
+                                       mesh, False, SEEDS_PER_BLOCK)
+        out[big] = o1
+    return out
+
+
+def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
+                    params: Optional[AlignParams],
+                    index: GenomeIndexTPU,
+                    mesh, keep_alignments: bool,
+                    seeds_per_block: int):
     """All-vs-all aggregates on TPU for unordered candidate `pairs` over
     ids-ordered genomes. Returns int64 array (len(pairs), 6) with columns
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
@@ -851,8 +910,9 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     (q=j,r=i) first. Segments past the per-pair record cap (MAXSEG) are
     dropped from the rows (aggregates stay exact)."""
     params = params or AlignParams()
+    C = seeds_per_block
     mqd, mrd, reg = params.mqd, params.mrd, params.reg
-    idx = index or GenomeIndexTPU(codes_list)
+    idx = index
     lens = idx.lens
     n_dev = mesh.devices.size if mesh is not None else 1
     if n_dev <= 1:
@@ -884,7 +944,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         for ts in by_ref.values():
             gids.update(qi for (qi, _p, _c) in ts)
         _t0 = _time.time()
-        b = idx.ensure(kb, gids)
+        b = idx.ensure(kb, gids, C)
         if _timing:
             print(f'[timing] ensure({kb}, {len(gids)}): '
                   f'{_time.time() - _t0:.1f}s', flush=True)
@@ -897,7 +957,7 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             ts = by_ref[ri]
             for lo in range(0, len(ts), K):
                 rows.append((ri, ts[lo:lo + K]))
-        B = _batch_rows(kb, kb, K)
+        B = _batch_rows(kb, kb, K, C)
         if mesh is not None:
             B = max(B // n_dev, 1) * n_dev
         n_disp = -(-len(rows) // B)
@@ -915,7 +975,8 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                  b['pk1_r'], b['pk2_r'], b['r2dov'],
                  {'fwd': b['fwd'], 'qsv': b['qsv'], 'qoff': b['qoff']})
         static = dict(Lq=kb, Lr=kb, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                      pack_bits=b['pack_bits'], with_alns=keep_alignments)
+                      pack_bits=b['pack_bits'], C=C,
+                      with_alns=keep_alignments)
         if mesh is not None:
             from ..parallel.distributed import replicate, shard_rows
             run = _make_sharded_group_run(mesh, **static)

@@ -21,6 +21,23 @@ by tests/test_extend_pallas.py.
 
 Backward extension reuses this kernel on host-prepared reversed code
 arrays (extension is direction-symmetric).
+
+Status: validated but NOT on the production path, by measurement rather
+than neglect. The round-3/4 TPU engine (ops/align_tpu.py) replaced
+per-extension jobs with a full-raster evaluation whose fused XLA form
+runs at ~0.3 ns/position (tools/microbench_r4.py) — the approximate-
+extension window rule became the raster density pass, subsuming this
+kernel's job on the TPU path. The host engines cannot feed it either:
+the greedy parse is sequential per pair (each extension's result decides
+the next seed search), so extension jobs cannot batch within a pair, and
+per-job device round trips over this host link cost ~ms against a ~us
+C++ inline extension. A kernel-per-fine-block Pallas variant of the
+raster eval was also analyzed and rejected: per-block scalar-driven
+(1, 64) slices serialize on the VPU, while XLA vectorizes the same
+window fetch as one large row gather. The kernel is retained as the
+validated Pallas reference for any future design where extension jobs
+batch naturally (e.g. a re-anchoring gap parser producing thousands of
+independent jobs per dispatch).
 """
 
 from functools import partial

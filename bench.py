@@ -45,7 +45,7 @@ def make_align_corpus(genomes, reps=3):
     return corpus
 
 
-def bench_align_native(corpus):
+def bench_align_native(corpus, prefix='align'):
     from vclust_tpu.models.align import run_align
     n = len(corpus)
     n_pairs = n * (n - 1) // 2
@@ -55,9 +55,9 @@ def bench_align_native(corpus):
         run_align(corpus, engine='native')
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    return {'align_n_genomes': n, 'align_n_pairs': n_pairs,
-            'align_seconds': round(best, 3),
-            'align_pairs_per_s': round(n_pairs / best, 1)}
+    return {f'{prefix}_n_genomes': n, f'{prefix}_n_pairs': n_pairs,
+            f'{prefix}_seconds': round(best, 3),
+            f'{prefix}_pairs_per_s': round(n_pairs / best, 1)}
 
 
 def bench_align_tpu(corpus, prefix='tpu_align'):
@@ -169,10 +169,13 @@ def main():
     validate_device_counts(base_sets)
 
     align_corpus = make_align_corpus(genomes)
+    contig_corpus = make_contig_corpus()
     tpu_align = bench_align_tpu(align_corpus)
-    contig_align = bench_align_tpu(make_contig_corpus(),
+    contig_align = bench_align_tpu(contig_corpus,
                                    prefix='tpu_align_contig')
     native_align = bench_align_native(align_corpus)
+    native_contig = bench_align_native(contig_corpus,
+                                       prefix='native_contig')
     scaling = bench_scaling()
 
     # Replicate with distinct hash offsets so the universe stays realistic.
@@ -213,7 +216,7 @@ def main():
                    'pattern_dedup_ratio': round(index.dedup_ratio, 2),
                    'device_counts_validated': True,
                    **tpu_align, **contig_align, **native_align,
-                   **scaling},
+                   **native_contig, **scaling},
     }))
 
 

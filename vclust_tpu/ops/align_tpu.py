@@ -51,6 +51,12 @@ minimizes sort PARTICIPANTS and eval BYTES:
      ffill + reverse backfill with packed accept bits). With
      keep_alignments, accepted segments compact via one extra sort into
      per-alignment records (the --out-alignment contract).
+  6. **Two-phase screening** (all2all_tpu's default for >= 16 kb
+     buckets): every pair runs first at quarter-density sampling (C=8,
+     ~half the sort cost), and only the weak-homology band (tANI in
+     (RERUN_LO, RERUN_HI)), where sparse votes starve the election,
+     re-runs at full density — junk and near-saturated pairs, the bulk
+     of any all-vs-all grid, never pay the full join.
 
 Semantics vs the exact engines (`native`/`py`, which are bit-identical to
 each other): same measures up to block-granularity approximations of

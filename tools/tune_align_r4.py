@@ -12,14 +12,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
-    {'VCLUST_ALIGN_C': '8', 'VCLUST_ALIGN_SEEDK': '6',
-     'VCLUST_ALIGN_MVF': '3', 'VCLUST_ALIGN_MVC': '4'},
-    {'VCLUST_ALIGN_C': '8', 'VCLUST_ALIGN_SEEDK': '7',
-     'VCLUST_ALIGN_MVF': '3', 'VCLUST_ALIGN_MVC': '4'},
-    {'VCLUST_ALIGN_C': '8', 'VCLUST_ALIGN_SEEDK': '6',
-     'VCLUST_ALIGN_MVF': '2', 'VCLUST_ALIGN_MVC': '3'},
-    {'VCLUST_ALIGN_C': '10', 'VCLUST_ALIGN_SEEDK': '6',
-     'VCLUST_ALIGN_MVF': '3', 'VCLUST_ALIGN_MVC': '4'},
+    {'VCLUST_ALIGN_MVF': '2', 'VCLUST_ALIGN_MVC': '3'},
+    {'VCLUST_ALIGN_MVF': '2', 'VCLUST_ALIGN_MVC': '4'},
+    {'VCLUST_ALIGN_EXTI': '5'},
+    {'VCLUST_ALIGN_EXTMARGIN': '2'},
+    {'VCLUST_ALIGN_EXTMIN': '13'},
+    {'VCLUST_ALIGN_EXTMARGIN': '2', 'VCLUST_ALIGN_EXTMIN': '13',
+     'VCLUST_ALIGN_EXTI': '5'},
 ]
 
 

@@ -117,9 +117,9 @@ BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster
 SMAX = 15           # cluster-count saturation (ranking needs no more)
-MIN_VOTES_F = int(_os_tune.environ.get('VCLUST_ALIGN_MVF', 3))
+MIN_VOTES_F = int(_os_tune.environ.get('VCLUST_ALIGN_MVF', 2))
 #                     votes needed for a fine block to elect a diagonal
-MIN_VOTES_C = int(_os_tune.environ.get('VCLUST_ALIGN_MVC', 4))
+MIN_VOTES_C = int(_os_tune.environ.get('VCLUST_ALIGN_MVC', 3))
 #                     votes needed for a coarse block to elect a diagonal
 #                     (scaled with the 1/4 stratified sampling rate: the
 #                     expected matched votes per block are C/FINE of all
@@ -129,10 +129,12 @@ EXT_ITERS = int(_os_tune.environ.get('VCLUST_ALIGN_EXTI', 3))
 #                     analog of factor extension across block boundaries:
 #                     a block may adopt an adjacent block's diagonal when
 #                     it out-matches its own election)
-EXT_MIN = 17        # matches (of FINE) a propagated diagonal must reach —
+EXT_MIN = int(_os_tune.environ.get('VCLUST_ALIGN_EXTMIN', 17))
+#                     matches (of FINE) a propagated diagonal must reach —
 #                     the approximate-extension density bound (>= 53%,
 #                     aw/am: <= 7 mismatches per 15) at block granularity
-EXT_MARGIN = 4      # propagated diagonal must beat an elected one by this
+EXT_MARGIN = int(_os_tune.environ.get('VCLUST_ALIGN_EXTMARGIN', 4))
+#                     propagated diagonal must beat an elected one by this
 MSL = 7             # consecutive matches forming a seed run (chains)
 MAL = 11            # consecutive matches able to OPEN a region
 AW = 39             # max distance from a seed run for a match to chain

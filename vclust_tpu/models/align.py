@@ -242,12 +242,19 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
         a, alns = res if keep_alignments else (res, None)
         _scatter(pairs_tpu, a, alns)
     if pairs_host:
+        eng = 'native' if lz_native.available() else 'Python'
         logger.info(f'{len(pairs_host)} pairs exceed the TPU engine\'s '
                     f'{align_tpu.MAX_TPU_LEN}-base range; using the exact '
-                    'native engine for them')
+                    f'{eng} engine for them')
         ph = np.asarray(pairs_host, dtype=np.int32).reshape(-1, 2)
-        a, alns = lz_native.all2all_native(
-            codes_list, ph, params, keep_alignments=keep_alignments)
+        if lz_native.available():
+            a, alns = lz_native.all2all_native(
+                codes_list, ph, params, keep_alignments=keep_alignments)
+        else:
+            # Exact Python oracle fallback (bit-identical to the native
+            # engine) so the oversized route works on hosts without the
+            # built C++ library.
+            a, alns = _all2all_py(codes_list, ph, params, keep_alignments)
         _scatter(pairs_host, a, alns)
     agg = np.stack([agg_by_pair[p] for p in candidates]) if candidates \
         else np.zeros((0, 6), dtype=np.int64)
@@ -293,6 +300,39 @@ def _run_align_tpu(genomes, order, objects, result, candidates, params,
                         rstart=int(a_[2]) + 1, rend=int(a_[3]) + 1,
                         nt_match=int(a_[4]), nt_mismatch=int(a_[5])))
     return result
+
+
+def _all2all_py(codes_list, pairs, params, keep_alignments):
+    """Python-oracle batch shim with lz_native.all2all_native's output
+    layout: agg int64 (N, 6) = (n_ji, match_ji, alnlen_ji, n_ij, match_ij,
+    alnlen_ij) for pair (i, j) with the (q=j, r=i) direction first, and
+    (aln_rows, counts) in the native record layout when requested."""
+    agg = np.zeros((len(pairs), 6), dtype=np.int64)
+    counts = np.zeros(2 * len(pairs), dtype=np.int64)
+    blocks = []
+    indexes = {}
+
+    def idx_of(r):
+        if r not in indexes:
+            indexes[r] = ReferenceIndex(codes_list[r], params)
+        return indexes[r]
+
+    for k, (i, j) in enumerate(np.asarray(pairs, dtype=np.int64)):
+        for d, (q, r) in enumerate(((j, i), (i, j))):
+            alns = parse_pair(codes_list[q], idx_of(int(r)), params)
+            agg[k, 3 * d:3 * d + 3] = (len(alns),
+                                       sum(a.nt_match for a in alns),
+                                       sum(a.alnlen for a in alns))
+            if keep_alignments:
+                counts[2 * k + d] = len(alns)
+                for a in alns:
+                    blocks.append((a.qstart, a.qend, a.rstart, a.rend,
+                                   a.nt_match, a.nt_mismatch))
+    if not keep_alignments:
+        return agg, None
+    rows = (np.asarray(blocks, dtype=np.int32) if blocks
+            else np.empty((0, 6), np.int32))
+    return agg, (rows, counts)
 
 
 def _run_align_native(genomes, order, objects, result, candidates, params,

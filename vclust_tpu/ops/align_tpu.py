@@ -92,11 +92,29 @@ enable_compilation_cache()
 
 import os as _os_tune
 
-SEED_K = int(_os_tune.environ.get('VCLUST_ALIGN_SEEDK', 8))
+
+def _env_num(name, default, lo, hi, cast=int):
+    """Tuning-knob parser with validation: malformed or out-of-range
+    values raise a clear error at import instead of corrupting the join
+    downstream (e.g. SEEDK > 8 would silently overflow the uint32
+    value<<16 seed pack — seed values need 2k <= 16 bits)."""
+    raw = _os_tune.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = cast(raw)
+    except ValueError:
+        raise ValueError(f'{name}={raw!r} is not a valid {cast.__name__}')
+    if not (lo <= v <= hi):
+        raise ValueError(f'{name}={v} out of range [{lo}, {hi}]')
+    return v
+
+
+SEED_K = _env_num('VCLUST_ALIGN_SEEDK', 8, 4, 8)
 #                     seed length for diagonal votes (TPU path); 8 keeps
 #                     (value, position) packs inside one uint32 for
 #                     buckets up to 65536 (larger buckets pack in int64)
-SEEDS_PER_BLOCK = int(_os_tune.environ.get('VCLUST_ALIGN_C', 16))
+SEEDS_PER_BLOCK = _env_num('VCLUST_ALIGN_C', 16, 1, 32)
 #                     stratified seed sampling: per 32-position fine
 #                     block, keep the C seeds with the smallest value
 #                     hash, on BOTH join sides. Selection keyed on the
@@ -117,23 +135,23 @@ BLOCK = 128         # coarse block width = diagonal election granularity
 FINE = 32           # fine block width (rearrangement-boundary resolution)
 GAP_DIAG = 16       # max diagonal spread within one vote cluster
 SMAX = 15           # cluster-count saturation (ranking needs no more)
-MIN_VOTES_F = int(_os_tune.environ.get('VCLUST_ALIGN_MVF', 2))
+MIN_VOTES_F = _env_num('VCLUST_ALIGN_MVF', 2, 1, 64)
 #                     votes needed for a fine block to elect a diagonal
-MIN_VOTES_C = int(_os_tune.environ.get('VCLUST_ALIGN_MVC', 3))
+MIN_VOTES_C = _env_num('VCLUST_ALIGN_MVC', 3, 1, 256)
 #                     votes needed for a coarse block to elect a diagonal
 #                     (scaled with the 1/4 stratified sampling rate: the
 #                     expected matched votes per block are C/FINE of all
 #                     matching positions)
-EXT_ITERS = int(_os_tune.environ.get('VCLUST_ALIGN_EXTI', 3))
+EXT_ITERS = _env_num('VCLUST_ALIGN_EXTI', 3, 0, 16)
 #                     neighbor-diagonal propagation passes (the raster
 #                     analog of factor extension across block boundaries:
 #                     a block may adopt an adjacent block's diagonal when
 #                     it out-matches its own election)
-EXT_MIN = int(_os_tune.environ.get('VCLUST_ALIGN_EXTMIN', 17))
+EXT_MIN = _env_num('VCLUST_ALIGN_EXTMIN', 17, 1, 32)
 #                     matches (of FINE) a propagated diagonal must reach —
 #                     the approximate-extension density bound (>= 53%,
 #                     aw/am: <= 7 mismatches per 15) at block granularity
-EXT_MARGIN = int(_os_tune.environ.get('VCLUST_ALIGN_EXTMARGIN', 4))
+EXT_MARGIN = _env_num('VCLUST_ALIGN_EXTMARGIN', 4, 0, 32)
 #                     propagated diagonal must beat an elected one by this
 MSL = 7             # consecutive matches forming a seed run (chains)
 MAL = 11            # consecutive matches able to OPEN a region
@@ -244,17 +262,47 @@ def _win_sum(m_i32, n):
     return out
 
 
+def _hcummax(x, reverse=False):
+    """Exact cummax along the last axis via a 128-blocked hierarchical
+    scan: intra-block log-shift maxes (elementwise, fuses to ~free) plus a
+    128x-shorter `lax.cummax` over block carries. Measured on v5e
+    (tools/microbench_r5.py): `lax.cummax` costs ~0.116 ns/elem — ~61 us
+    per directed pair across the 8 segmentation scans at the 64 kb bucket
+    — while this decomposition is below measurement noise. Falls back to
+    `lax.cummax` when the axis is short or not a multiple of 128."""
+    L = x.shape[-1]
+    FB = 128
+    if L < 2 * FB or L % FB:
+        return jax.lax.cummax(x, axis=x.ndim - 1, reverse=reverse)
+    if reverse:
+        return _hcummax(x[..., ::-1])[..., ::-1]
+    ident = (jnp.iinfo(x.dtype).min
+             if jnp.issubdtype(x.dtype, jnp.signedinteger) else x.dtype.type(0))
+    blk = x.reshape(x.shape[:-1] + (L // FB, FB))
+    intra = blk
+    s = 1
+    while s < FB:
+        pad = jnp.full(intra.shape[:-1] + (s,), ident, x.dtype)
+        intra = jnp.maximum(
+            intra, jnp.concatenate([pad, intra[..., :-s]], axis=-1))
+        s *= 2
+    carry = jax.lax.cummax(blk.max(axis=-1), axis=blk.ndim - 2)
+    cpad = jnp.full(carry.shape[:-1] + (1,), ident, x.dtype)
+    carry = jnp.concatenate([cpad, carry[..., :-1]], axis=-1)
+    return jnp.maximum(intra, carry[..., None]).reshape(x.shape)
+
+
 def _ffill_idx(flag, iota):
     """Index of the most recent True at or before each position (-1 if
     none), along the last axis."""
     x = jnp.where(flag, iota, -1)
-    return jax.lax.cummax(x, axis=x.ndim - 1)
+    return _hcummax(x)
 
 
 def _rev_next_idx(flag, iota, none_val):
     """Smallest index >= i with flag (none_val if none)."""
     x = jnp.where(flag, -iota, -BIG)
-    neg = jax.lax.cummax(x, axis=x.ndim - 1, reverse=True)
+    neg = _hcummax(x, reverse=True)
     return jnp.where(neg > -BIG, -neg, none_val)
 
 
@@ -284,8 +332,8 @@ def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, C, offset,
         pay2 = jnp.concatenate([pk2, zq])
         pay3 = jnp.concatenate([jnp.full(NR, BIG, jnp.int32), qslot])
         sk, s1, s2, s3 = jax.lax.sort((keys, pay1, pay2, pay3), num_keys=1)
-        c1 = jax.lax.cummax(s1)
-        c2 = jax.lax.cummax(s2)
+        c1 = _hcummax(s1)
+        c2 = _hcummax(s2)
         val = (sk >> 6)
         is_q = (sk & 1) == 1
         qpos = ((s3 % NQ) // C) * FINE + ((sk >> 1) & 31)
@@ -306,7 +354,7 @@ def _strand_votes(sv, pk1, pk2, key_q, qslot, *, NR, NQ, K, Lq, C, offset,
         pay = jnp.concatenate([pk1, zq])    # pk1 is the int64 triple pack
         pay3 = jnp.concatenate([jnp.full(NR, BIG, jnp.int32), qslot])
         sk, s1, s3 = jax.lax.sort((keys, pay, pay3), num_keys=1)
-        c = jax.lax.cummax(s1)
+        c = _hcummax(s1)
         val = (sk >> 6)
         is_q = (sk & 1) == 1
         qpos = ((s3 % NQ) // C) * FINE + ((sk >> 1) & 31)
@@ -420,6 +468,147 @@ import os as _os
 _ABLATE = _os.environ.get('VCLUST_ALIGN_ABLATE', '')   # stage profiling
 
 
+def _blocks_to_measures(m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen,
+                        *, K, Lq, mqd, mrd, reg, with_alns=False,
+                        debug=False, debug_extra=None):
+    """Shared back half of the per-row core: single-switch refinement of
+    the per-position flags, region breaks, anchored-match chaining,
+    segmentation and aggregates (and per-segment records with with_alns).
+    Consumed by both the v2 (sort-join) and v3 (MXU occupancy-matmul)
+    front ends: inputs are per-fine-block elected (A, S, D) plus the
+    winner flags m1 and previous-block-diagonal flags m0."""
+    NBF = Lq // FINE
+    iota = jnp.arange(Lq, dtype=jnp.int32)
+    # --- 3. per-position match flags with single-switch refinement ------
+    m0b = m0.reshape(K * NBF, FINE).astype(jnp.int32)
+    m1b = m1.reshape(K * NBF, FINE).astype(jnp.int32)
+    g = jnp.cumsum(m0b - m1b, axis=-1)
+    gpad = jnp.concatenate(
+        [jnp.zeros((K * NBF, 1), jnp.int32), g], axis=-1)
+    # Max-pack argmax: first position of the maximum prefix gain (offset
+    # keeps the packed gain non-negative so the bit-OR stays monotone).
+    tpack = ((gpad + FINE) << 8) | (255 - jnp.arange(FINE + 1,
+                                                     dtype=jnp.int32))
+    tstar = 255 - (jnp.max(tpack, axis=-1) & 255)
+    tstar = jnp.where(switchable.reshape(-1), tstar, 0)
+    posb = jnp.arange(FINE, dtype=jnp.int32)[None, :]
+    mb = jnp.where(posb < tstar[:, None], m0b, m1b)
+    m = mb.reshape(K, Lq).astype(jnp.bool_)
+    if _ABLATE == 'eval':
+        s = jnp.sum(m.astype(jnp.int32), axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
+
+    # --- 4. region breaks ------------------------------------------------
+    # Unlinked adjacent assigned blocks break at the switch point (the
+    # factor-linking limits: same strand, |diagonal jump| <= mrd).
+    linked = A & Ap & (S == Sp) & (jnp.abs(D - Dp) <= mrd)
+    first_blk = jnp.concatenate(
+        [jnp.ones((K, 1), jnp.bool_), jnp.zeros((K, NBF - 1), jnp.bool_)],
+        axis=-1)
+    brk_blk = (A & Ap & ~linked & ~first_blk).reshape(-1)
+    Bb = brk_blk[:, None] & (posb == jnp.minimum(tstar, FINE - 1)[:, None])
+    Bbrk = Bb.reshape(K, Lq)
+
+    # --- 5. anchored matches (bit-dilation chains, no scans) -------------
+    # The greedy parse only opens/continues factors at exact seed matches
+    # (>= msl consecutive matching bases); scattered single matches are
+    # credited only when near a factor (gap credit / approx extension).
+    # Raster analog: a match may delimit a segment only when within AW of
+    # a >= MSL consecutive-match run; other matches still count toward
+    # nt_match inside the segment but cannot extend or chain it.
+    in_run = _run_positions(m, MSL)
+    in_anchor = _run_positions(m, MAL)   # long enough to OPEN a region
+    near_run = _dilate_back(in_run, AW) | _dilate_fwd(in_run, AW)
+    # Density pass: the approximate-extension window rule (<= AM
+    # mismatches per AW_WIN positions) as a raster predicate — a match
+    # chains only if some AW_WIN-window covering it is dense enough.
+    # Random 25%-identity terrain fails this almost everywhere.
+    w15 = _win_sum(m.astype(jnp.int32), AW_WIN)
+    dense_end = w15 >= (AW_WIN - AM)
+    covered_by_dense = _dilate_fwd(dense_end, AW_WIN - 1)
+    ma = m & near_run & (covered_by_dense | in_run)
+
+    # --- 6. segmentation + aggregates (8 scans, no gathers) --------------
+    pm_excl = _sh_r(_ffill_idx(ma, iota[None, :]), 1, jnp.int32(-1))
+    any_prev = _dilate_back(_sh_r(ma, 1, False), mqd)  # ma in [i-mqd-1,i-1]
+    lastB = _ffill_idx(Bbrk, iota[None, :])
+    crossed = (lastB >= 0) & (lastB > pm_excl)
+    seg_start = ma & (~any_prev | crossed)
+    lastS = _ffill_idx(seg_start, iota[None, :])
+    ns_after = _rev_next_idx(_sh_l(seg_start, 1, False), iota[None, :],
+                             Lq)              # next start strictly after i
+    nma_strict = _rev_next_idx(_sh_l(ma, 1, False), iota[None, :], BIG)
+    # Both "next" indices live in the same left-shifted frame, so they
+    # compare directly: i is its segment's last anchored match iff the
+    # next anchored match does not precede the next segment start.
+    e_flag = ma & (nma_strict >= ns_after)
+    lastAnchor = _ffill_idx(in_anchor, iota[None, :])
+    accept_e = e_flag & (iota[None, :] - lastS + 1 >= reg) & \
+        (lastAnchor >= lastS)
+    rv = _hcummax(
+        jnp.where(e_flag, (Lq - 1 - iota[None, :]) * 2
+                  + accept_e.astype(jnp.int32), -1),
+        reverse=True)
+    accE = (rv & 1) == 1
+    lastE_excl = _sh_r(_ffill_idx(e_flag, iota[None, :]), 1, jnp.int32(-2))
+    covered = (lastS >= 0) & (lastS > lastE_excl) & (rv >= 0)
+    acc_cov = covered & accE
+    n_alns = jnp.sum((seg_start & acc_cov).astype(jnp.int32), axis=-1)
+    sum_match = jnp.sum((m & acc_cov).astype(jnp.int32), axis=-1)
+    sum_alnlen = jnp.sum(acc_cov.astype(jnp.int32), axis=-1)
+    if debug:
+        return dict(m=m, ma=ma, acc_cov=acc_cov, A=A, S=S, D=D,
+                    seg_start=seg_start, e_flag=e_flag,
+                    n_alns=n_alns, sum_match=sum_match,
+                    sum_alnlen=sum_alnlen, **(debug_extra or {}))
+    agg = jnp.stack([n_alns, sum_match, sum_alnlen], axis=-1)  # (K, 3)
+    if not with_alns:
+        return agg
+
+    # --- 7. per-segment records (the lz-ani --out-alignment contract,
+    # reference vclust.py:1127-1133): each accepted segment has exactly
+    # one accepted e_flag; compact those positions with one sort, then
+    # decode (qstart, qend, rstart, rend, nt_match, nt_mismatch) from a
+    # handful of per-record gathers. Off the aggregate hot path (compiled
+    # only when alignment rows are requested).
+    macc = (m & acc_cov).astype(jnp.int32)
+    cm = jnp.cumsum(macc, axis=-1)                 # inclusive prefix
+    cm_excl = cm - macc
+    # Per-position effective diagonal/strand (switch-point refined).
+    tq = jnp.repeat(jnp.minimum(tstar.reshape(K, NBF), FINE), FINE,
+                    axis=-1)
+    in_pre = (iota[None, :] % FINE) < tq
+    Drep = jnp.repeat(D, FINE, axis=-1)
+    Dprep = jnp.repeat(Dp, FINE, axis=-1)
+    Srep = jnp.repeat(S, FINE, axis=-1)
+    Sprep = jnp.repeat(Sp, FINE, axis=-1)
+    D_eff = jnp.where(in_pre, Dprep, Drep)
+    S_eff = jnp.where(in_pre, Sprep, Srep)
+    rec = e_flag & acc_cov
+    key = jnp.where(rec, iota[None, :], BIG)
+    p_start = jnp.where(rec, lastS, -1)
+    k_s, r_end, r_start = jax.lax.sort(
+        (key, jnp.broadcast_to(iota[None, :], key.shape), p_start),
+        num_keys=1, dimension=1)
+    MAXSEG = min(Lq // max(reg, 16) + 8, 2048)
+    r_end = jnp.where(k_s[:, :MAXSEG] < BIG, r_end[:, :MAXSEG], -1)
+    r_start = jnp.where(r_end >= 0, r_start[:, :MAXSEG], -1)
+    g = lambda a, idx: jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=1)
+    nt = g(cm, r_end) - g(cm_excl, r_start)
+    d_s = g(D_eff, r_start)
+    d_e = g(D_eff, r_end)
+    strand = g(S_eff, r_start)
+    rj_s = r_start + d_s
+    rj_e = r_end + d_e
+    rstart = jnp.where(strand, rlen - 1 - rj_s, rj_s)
+    rend = jnp.where(strand, rlen - 1 - rj_e, rj_e)
+    alnlen = r_end - r_start + 1
+    recs = jnp.stack(
+        [r_start, r_end, rstart, rend, nt, alnlen - nt], axis=-1)
+    recs = jnp.where((r_start >= 0)[..., None], recs, -1)
+    return agg, recs                               # (K, 3), (K, MAXSEG, 6)
+
+
 def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
               q_fwd, qsv, qoff, qlens, *, Lq, Lr, K, mqd, mrd, reg,
               pack_bits, C=None, with_alns=False, debug=False):
@@ -519,137 +708,14 @@ def _row_core(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, rlen,
     Sp = _sh_r(S, 1, False)
     Dp = _sh_r(D, 1, jnp.int32(0))
 
-    # --- 3. per-position match flags with single-switch refinement ------
+    # --- 3..7 shared back half (also used by the v3 MXU front end) ------
     m1 = F
     switchable = A & Ap & ((D != Dp) | (S != Sp))
     m0 = _eval_on(q_fwd, r2dov, Dp, Sp, switchable, rlen, qlens, **ev)
-    m0b = m0.reshape(K * NBF, FINE).astype(jnp.int32)
-    m1b = m1.reshape(K * NBF, FINE).astype(jnp.int32)
-    g = jnp.cumsum(m0b - m1b, axis=-1)
-    gpad = jnp.concatenate(
-        [jnp.zeros((K * NBF, 1), jnp.int32), g], axis=-1)
-    # Max-pack argmax: first position of the maximum prefix gain (offset
-    # keeps the packed gain non-negative so the bit-OR stays monotone).
-    tpack = ((gpad + FINE) << 8) | (255 - jnp.arange(FINE + 1,
-                                                     dtype=jnp.int32))
-    tstar = 255 - (jnp.max(tpack, axis=-1) & 255)
-    tstar = jnp.where(switchable.reshape(-1), tstar, 0)
-    posb = jnp.arange(FINE, dtype=jnp.int32)[None, :]
-    mb = jnp.where(posb < tstar[:, None], m0b, m1b)
-    m = mb.reshape(K, Lq).astype(jnp.bool_)
-    if _ABLATE == 'eval':
-        s = jnp.sum(m.astype(jnp.int32), axis=-1)
-        return jnp.stack([s, s, s], axis=-1)
-
-    # --- 4. region breaks ------------------------------------------------
-    # Unlinked adjacent assigned blocks break at the switch point (the
-    # factor-linking limits: same strand, |diagonal jump| <= mrd).
-    linked = A & Ap & (S == Sp) & (jnp.abs(D - Dp) <= mrd)
-    first_blk = jnp.concatenate(
-        [jnp.ones((K, 1), jnp.bool_), jnp.zeros((K, NBF - 1), jnp.bool_)],
-        axis=-1)
-    brk_blk = (A & Ap & ~linked & ~first_blk).reshape(-1)
-    Bb = brk_blk[:, None] & (posb == jnp.minimum(tstar, FINE - 1)[:, None])
-    Bbrk = Bb.reshape(K, Lq)
-
-    # --- 5. anchored matches (bit-dilation chains, no scans) -------------
-    # The greedy parse only opens/continues factors at exact seed matches
-    # (>= msl consecutive matching bases); scattered single matches are
-    # credited only when near a factor (gap credit / approx extension).
-    # Raster analog: a match may delimit a segment only when within AW of
-    # a >= MSL consecutive-match run; other matches still count toward
-    # nt_match inside the segment but cannot extend or chain it.
-    in_run = _run_positions(m, MSL)
-    in_anchor = _run_positions(m, MAL)   # long enough to OPEN a region
-    near_run = _dilate_back(in_run, AW) | _dilate_fwd(in_run, AW)
-    # Density pass: the approximate-extension window rule (<= AM
-    # mismatches per AW_WIN positions) as a raster predicate — a match
-    # chains only if some AW_WIN-window covering it is dense enough.
-    # Random 25%-identity terrain fails this almost everywhere.
-    w15 = _win_sum(m.astype(jnp.int32), AW_WIN)
-    dense_end = w15 >= (AW_WIN - AM)
-    covered_by_dense = _dilate_fwd(dense_end, AW_WIN - 1)
-    ma = m & near_run & (covered_by_dense | in_run)
-
-    # --- 6. segmentation + aggregates (8 scans, no gathers) --------------
-    pm_excl = _sh_r(_ffill_idx(ma, iota[None, :]), 1, jnp.int32(-1))
-    any_prev = _dilate_back(_sh_r(ma, 1, False), mqd)  # ma in [i-mqd-1,i-1]
-    lastB = _ffill_idx(Bbrk, iota[None, :])
-    crossed = (lastB >= 0) & (lastB > pm_excl)
-    seg_start = ma & (~any_prev | crossed)
-    lastS = _ffill_idx(seg_start, iota[None, :])
-    ns_after = _rev_next_idx(_sh_l(seg_start, 1, False), iota[None, :],
-                             Lq)              # next start strictly after i
-    nma_strict = _rev_next_idx(_sh_l(ma, 1, False), iota[None, :], BIG)
-    # Both "next" indices live in the same left-shifted frame, so they
-    # compare directly: i is its segment's last anchored match iff the
-    # next anchored match does not precede the next segment start.
-    e_flag = ma & (nma_strict >= ns_after)
-    lastAnchor = _ffill_idx(in_anchor, iota[None, :])
-    accept_e = e_flag & (iota[None, :] - lastS + 1 >= reg) & \
-        (lastAnchor >= lastS)
-    rv = jax.lax.cummax(
-        jnp.where(e_flag, (Lq - 1 - iota[None, :]) * 2
-                  + accept_e.astype(jnp.int32), -1),
-        axis=1, reverse=True)
-    accE = (rv & 1) == 1
-    lastE_excl = _sh_r(_ffill_idx(e_flag, iota[None, :]), 1, jnp.int32(-2))
-    covered = (lastS >= 0) & (lastS > lastE_excl) & (rv >= 0)
-    acc_cov = covered & accE
-    n_alns = jnp.sum((seg_start & acc_cov).astype(jnp.int32), axis=-1)
-    sum_match = jnp.sum((m & acc_cov).astype(jnp.int32), axis=-1)
-    sum_alnlen = jnp.sum(acc_cov.astype(jnp.int32), axis=-1)
-    if debug:
-        return dict(m=m, ma=ma, acc_cov=acc_cov, A=A, S=S, D=D, vb=vb,
-                    seg_start=seg_start, e_flag=e_flag, votes=votes,
-                    n_alns=n_alns, sum_match=sum_match,
-                    sum_alnlen=sum_alnlen)
-    agg = jnp.stack([n_alns, sum_match, sum_alnlen], axis=-1)  # (K, 3)
-    if not with_alns:
-        return agg
-
-    # --- 7. per-segment records (the lz-ani --out-alignment contract,
-    # reference vclust.py:1127-1133): each accepted segment has exactly
-    # one accepted e_flag; compact those positions with one sort, then
-    # decode (qstart, qend, rstart, rend, nt_match, nt_mismatch) from a
-    # handful of per-record gathers. Off the aggregate hot path (compiled
-    # only when alignment rows are requested).
-    macc = (m & acc_cov).astype(jnp.int32)
-    cm = jnp.cumsum(macc, axis=-1)                 # inclusive prefix
-    cm_excl = cm - macc
-    # Per-position effective diagonal/strand (switch-point refined).
-    tq = jnp.repeat(jnp.minimum(tstar.reshape(K, NBF), FINE), FINE,
-                    axis=-1)
-    in_pre = (iota[None, :] % FINE) < tq
-    Drep = jnp.repeat(D, FINE, axis=-1)
-    Dprep = jnp.repeat(Dp, FINE, axis=-1)
-    Srep = jnp.repeat(S, FINE, axis=-1)
-    Sprep = jnp.repeat(Sp, FINE, axis=-1)
-    D_eff = jnp.where(in_pre, Dprep, Drep)
-    S_eff = jnp.where(in_pre, Sprep, Srep)
-    rec = e_flag & acc_cov
-    key = jnp.where(rec, iota[None, :], BIG)
-    p_start = jnp.where(rec, lastS, -1)
-    k_s, r_end, r_start = jax.lax.sort(
-        (key, jnp.broadcast_to(iota[None, :], key.shape), p_start),
-        num_keys=1, dimension=1)
-    MAXSEG = min(Lq // max(reg, 16) + 8, 2048)
-    r_end = jnp.where(k_s[:, :MAXSEG] < BIG, r_end[:, :MAXSEG], -1)
-    r_start = jnp.where(r_end >= 0, r_start[:, :MAXSEG], -1)
-    g = lambda a, idx: jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=1)
-    nt = g(cm, r_end) - g(cm_excl, r_start)
-    d_s = g(D_eff, r_start)
-    d_e = g(D_eff, r_end)
-    strand = g(S_eff, r_start)
-    rj_s = r_start + d_s
-    rj_e = r_end + d_e
-    rstart = jnp.where(strand, rlen - 1 - rj_s, rj_s)
-    rend = jnp.where(strand, rlen - 1 - rj_e, rj_e)
-    alnlen = r_end - r_start + 1
-    recs = jnp.stack(
-        [r_start, r_end, rstart, rend, nt, alnlen - nt], axis=-1)
-    recs = jnp.where((r_start >= 0)[..., None], recs, -1)
-    return agg, recs                               # (K, 3), (K, MAXSEG, 6)
+    return _blocks_to_measures(
+        m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen, K=K, Lq=Lq,
+        mqd=mqd, mrd=mrd, reg=reg, with_alns=with_alns, debug=debug,
+        debug_extra=dict(vb=vb, votes=votes) if debug else None)
 
 
 def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
@@ -834,6 +900,287 @@ class GenomeIndexTPU:
         return d
 
 
+# ==========================================================================
+# v3 front end: MXU occupancy-matmul candidate generation + banded eval
+# ==========================================================================
+# Round-5 redesign of stages 1-2b driven by tools/microbench_r5.py: on v5e
+# every content-addressed XLA primitive costs O(ns) per element (sort 1.9
+# ns/elem, gathers 6.7 ns/row regardless of width, scatter 4.7) so the
+# ~30k seed lookups per directed pair floor the v2 sort join at ~300 us
+# and the vote-election small-row sorts at another ~150 us. The only
+# units with headroom are the MXU and fused VPU elementwise chains, so v3
+# replaces the join+election with:
+#
+#   1. **Canonical-k-mer occupancy matmul (MXU).** Per genome, a 0/1
+#      occupancy matrix over V3_H hashed buckets of canonical 8-mers
+#      (min(v, revcomp(v)) — strand-invariant, so ONE matrix serves both
+#      strands and one matmul scores both orientations at once): query
+#      blocks of V3_WQ positions x reference blocks of 32. M = Qocc @
+#      Rocc^T gives shared-seed counts for every (query-block, ref-block)
+#      combination; the argmax per query block is the coarse candidate
+#      region. ~2.1 GFLOP bf16 per directed pair at the 64 kb bucket —
+#      full seed density (no sampling) for less than the cost the v2 join
+#      paid for 1/2 density.
+#   2. **Banded base-level eval (fused VPU).** Around each coarse
+#      candidate, all V3_BAND diagonal shifts are evaluated on the bases
+#      directly: one wide window row-gather per coarse block (the only
+#      gather), then an unrolled 32-step shift-compare-accumulate that
+#      XLA fuses into a single pass. This replaces the fine/coarse vote
+#      election sorts AND the eval/propagation re-evals of v2: the per-
+#      fine-block elected diagonal is the band argmax, neighbor
+#      propagation reads counts straight out of the band, and the final
+#      match flags are a where-tree select from the same windows.
+#   3. The shared back half (_blocks_to_measures) is unchanged.
+#
+# The mirror trick for the reverse strand: a canonical match at ref block
+# g can be forward or reverse; the reverse candidate window is the mirror
+# of [32g, 32g+32) in the rc string (true position rlen-32g-32, floored
+# to the 32-grid; the band's +-slack absorbs the floor). Both strands'
+# bands are evaluated and the per-fine-block winner takes all, with ties
+# preferring the forward strand like v2's smallest-code rule.
+#
+# Large buckets route back to v2: the matmul is quadratic in bucket size
+# (fine through V3_MAX_BUCKET, the v2 sort join scales better beyond).
+
+V3_H = _env_num('VCLUST_ALIGN_V3_H', 2048, 256, 16384)
+#                    hashed canonical-seed buckets of the occupancy
+#                    matrices. SNR argument: a 128-wide query block holds
+#                    ~120 seeds, a 32-wide ref block ~28, so collision
+#                    noise per cell is ~120*28/2048 = 1.6 +- 1.3 while
+#                    true blocks at 75% identity share ~12 seeds.
+V3_WQ = _env_num('VCLUST_ALIGN_V3_WQ', 128, 64, 512)
+#                    stage-1 query block width (multiple of 32; all
+#                    length buckets divide by 128). Wider = cheaper
+#                    matmul + better SNR but a wider eval band.
+V3_SMIN = _env_num('VCLUST_ALIGN_V3_SMIN', 5, 1, 512)
+#                    stage-1 shared-seed count a coarse candidate needs
+#                    before its fine blocks may elect (junk guard).
+V3_TBAND = _env_num('VCLUST_ALIGN_V3_TBAND', 17, 1, 32)
+#                    base matches (of FINE) the band winner needs to
+#                    elect — the aw/am density bound (>= 53%), same
+#                    constant as EXT_MIN.
+V3_MAX_BUCKET = _env_num('VCLUST_ALIGN_V3_MAXB', 131072, 4096, 1 << 20)
+
+
+def _v3_geom(Lq, Lr):
+    WQ = V3_WQ
+    BAND = WQ + 96          # diagonal shifts evaluated per fine block
+    WIN = BAND + FINE       # per-fine-block window width
+    ROWW = -(-(WQ - 16 + WIN) // 32) * 32   # wide window row width
+    return dict(WQ=WQ, BAND=BAND, WIN=WIN, ROWW=ROWW,
+                NQB=Lq // WQ, NRB=Lr // FINE, FPB=WQ // FINE)
+
+
+def _canon_hash(vals):
+    """Hash bucket of the canonical 8-mer for packed values (int32, -1 =
+    invalid): min(v, revcomp(v)) through a Knuth multiplicative hash.
+    Returns -1 for invalid positions (dropped by scatter)."""
+    rc = jnp.zeros_like(vals)
+    t = vals
+    for _ in range(SEED_K):
+        rc = (rc << 2) | ((t & 3) ^ 3)
+        t = t >> 2
+    vc = jnp.minimum(vals, rc).astype(jnp.uint32)
+    shift = 32 - int(np.log2(V3_H))
+    h = (vc * jnp.uint32(2654435761)) >> shift
+    return jnp.where(vals >= 0, h.astype(jnp.int32), -1)
+
+
+@partial(jax.jit, static_argnames=('k', 'Lp'))
+def _index_block_v3(fwd, rc, k: int, Lp: int):
+    """Per-genome v3 device index for one bucket chunk: canonical
+    occupancy matrices (query blocks of WQ / ref blocks of FINE) and the
+    wide window rows both strands. fwd/rc: (G, Lp) int8 codes."""
+    g3 = _v3_geom(Lp, Lp)
+    WQ, NQB, NRB, ROWW = g3['WQ'], g3['NQB'], g3['NRB'], g3['ROWW']
+    G = fwd.shape[0]
+    vals = jax.vmap(partial(kmer_vals, k=k))(fwd)
+    h = _canon_hash(vals)                          # (G, Lp)
+    gi = jnp.arange(G, dtype=jnp.int32)[:, None]
+    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    one = jnp.ones((G, Lp), jnp.int8)
+    qocc = jnp.zeros((G, NQB, V3_H), jnp.int8).at[
+        gi, pos // WQ, h].max(one, mode='drop')
+    rocc = jnp.zeros((G, NRB, V3_H), jnp.int8).at[
+        gi, pos // FINE, h].max(one, mode='drop')
+
+    def rows(codes):
+        lead = jnp.full((G, WQ + 32), 4, jnp.int8)
+        tail = jnp.full((G, ROWW), 4, jnp.int8)
+        P = jnp.concatenate([lead, codes, tail], axis=1)
+        return jnp.concatenate(
+            [P[:, 32 * j:32 * j + NRB * 32].reshape(G, NRB, 32)
+             for j in range(ROWW // 32)], axis=-1)   # (G, NRB, ROWW)
+
+    return qocc, rocc, rows(fwd), rows(rc)
+
+
+def _tree_slice(w, t, out_width, tmax):
+    """w[..., t:t+out_width] for per-element t in [0, tmax] via a binary
+    where-tree of static slices (no gathers)."""
+    out = w
+    bit = 1 << (int(tmax).bit_length() - 1)
+    while bit:
+        keep = max(out_width, out.shape[-1] - bit)
+        out = jnp.where((t & bit > 0)[..., None], out[..., bit:bit + keep],
+                        out[..., :keep])
+        bit >>= 1
+    return out[..., :out_width]
+
+
+def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
+                 *, Lq, Lr, K, mqd, mrd, reg, with_alns=False, debug=False):
+    """v3 aggregates for K directed pairs sharing one reference.
+
+    rocc: (NRB, H) int8; roww_f/roww_r: (NRB, ROWW) int8; qocc:
+    (K, NQB, H) int8; q_fwd: (K, Lq) int8; rlen scalar, qlens (K,)."""
+    g3 = _v3_geom(Lq, Lr)
+    WQ, BAND, WIN, NQB, NRB, FPB = (g3['WQ'], g3['BAND'], g3['WIN'],
+                                    g3['NQB'], g3['NRB'], g3['FPB'])
+    NBF = Lq // FINE
+
+    # --- 1. stage-1 occupancy matmul + coarse argmax --------------------
+    M = jnp.einsum('kqh,rh->kqr', qocc.astype(jnp.bfloat16),
+                   rocc.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
+    best = jnp.max((M << 13) | r_inv, axis=-1)     # count desc, r asc
+    cnt1 = best >> 13                              # (K, NQB)
+    g1 = 8191 - (best & 8191)
+    if _ABLATE == 'join':
+        s = jnp.sum(cnt1, axis=-1) + jnp.sum(g1, axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
+
+    # --- 2. window rows (the only gathers: one wide row per coarse
+    # block per strand) --------------------------------------------------
+    g1rc = jnp.clip((rlen - 32 * g1 - 32) >> 5, 0, NRB - 1)
+    rowf = roww_f[g1]                              # (K, NQB, ROWW)
+    rowr = roww_r[g1rc]
+
+    def fine_windows(row):
+        w = jnp.stack([row[..., u * 32 + 16: u * 32 + 16 + WIN]
+                       for u in range(FPB)], axis=-2)
+        return w.reshape(K, NBF, WIN)
+
+    wf = fine_windows(rowf)
+    wr = fine_windows(rowr)
+    qb = q_fwd.reshape(K, NBF, FINE)
+    qok = qb < 4
+
+    # --- 3. banded base eval: 32-step fused shift-compare-accumulate ----
+    def band_counts(w):
+        acc = None
+        for p in range(FINE):
+            e = ((w[..., p:p + BAND] == qb[..., p:p + 1])
+                 & qok[..., p:p + 1]).astype(jnp.int8)
+            acc = e if acc is None else acc + e
+        return acc                                  # (K, NBF, BAND) int8
+
+    cf = band_counts(wf)
+    cr = band_counts(wr)
+
+    # --- 4. election: band winner across both strands, ties prefer the
+    # forward strand then the smaller shift (v2's smallest-code rule) ----
+    tinv = jnp.int32(511) - jnp.arange(BAND, dtype=jnp.int32)
+    bf = jnp.max((cf.astype(jnp.int32) << 11) | 1024 | tinv, axis=-1)
+    br = jnp.max((cr.astype(jnp.int32) << 11) | tinv, axis=-1)
+    bb = jnp.maximum(bf, br)
+    cnt_best = bb >> 11
+    S = (bb & 1024) == 0                           # True = reverse strand
+    t_el = 511 - (bb & 511)
+    fc = jnp.arange(NBF, dtype=jnp.int32) // FPB   # coarse block of fb
+    Qs = fc * WQ
+    base_f = (32 * g1)[:, fc] - Qs[None, :] - WQ - 16      # (K, NBF)
+    base_r = (32 * g1rc)[:, fc] - Qs[None, :] - WQ - 16
+    D = jnp.where(S, base_r, base_f) + t_el
+    cnt1_f = cnt1[:, fc]
+    A = (cnt_best >= V3_TBAND) & (cnt1_f >= V3_SMIN)
+    if _ABLATE == 'elect':
+        s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(cnt_best, -1)
+        return jnp.stack([s, s, s], axis=-1)
+
+    # --- 5. propagation: neighbors' diagonals read straight out of the
+    # band counts (no re-eval) -------------------------------------------
+    cnt_cur = jnp.where(A, cnt_best, -1)
+    for _ in range(EXT_ITERS):
+        for shf in (_sh_r, _sh_l):
+            Dn = shf(D, 1, jnp.int32(0))
+            Sn = shf(S, 1, False)
+            An = shf(A, 1, False)
+            tn = Dn - jnp.where(Sn, base_r, base_f)
+            inb = An & (tn >= 0) & (tn < BAND)
+            tnc = jnp.clip(tn, 0, BAND - 1)
+            cn_f = _tree_slice(cf, tnc, 1, BAND - 1)[..., 0]
+            cn_r = _tree_slice(cr, tnc, 1, BAND - 1)[..., 0]
+            cn = jnp.where(inb, jnp.where(Sn, cn_r, cn_f), -1)
+            better = (cn >= EXT_MIN) & (cn > cnt_cur + EXT_MARGIN)
+            D = jnp.where(better, Dn, D)
+            S = jnp.where(better, Sn, S)
+            A = A | better
+            cnt_cur = jnp.where(better, cn, cnt_cur)
+
+    # --- 6. final per-position flags from the windows -------------------
+    def flags_at(Sx, Dx, okx):
+        tx = Dx - jnp.where(Sx, base_r, base_f)
+        okx = okx & (tx >= 0) & (tx < BAND)
+        txc = jnp.clip(tx, 0, BAND - 1)
+        wsel = jnp.where(Sx[..., None], wr, wf)
+        seg = _tree_slice(wsel, txc, FINE, BAND - 1)
+        m = (qb == seg) & qok & okx[..., None]
+        return m.reshape(K, Lq)
+
+    m1 = flags_at(S, D, A)
+    Ap = _sh_r(A, 1, False)
+    Sp = _sh_r(S, 1, False)
+    Dp = _sh_r(D, 1, jnp.int32(0))
+    switchable = A & Ap & ((D != Dp) | (S != Sp))
+    m0 = flags_at(Sp, Dp, switchable)
+    if _ABLATE == 'eval':
+        s = jnp.sum(m1.astype(jnp.int32), axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
+    return _blocks_to_measures(
+        m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen, K=K, Lq=Lq,
+        mqd=mqd, mrd=mrd, reg=reg, with_alns=with_alns, debug=debug,
+        debug_extra=dict(cnt1=cnt1, g1=g1, cnt_best=cnt_best) if debug
+        else None)
+
+
+def _group_run_v3_body(rocc, roww_f, roww_r, qv, r_rows, rlens, q_rows,
+                       qlens, *, Lq, Lr, K, mqd, mrd, reg,
+                       with_alns=False):
+    core = partial(_row_core_v3, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
+                   reg=reg, with_alns=with_alns)
+
+    def row(rr, rl, qr, ql):
+        return core(rocc[rr], roww_f[rr], roww_r[rr], rl,
+                    qv['fwd'][qr], qv['qocc'][qr], ql)
+
+    return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
+
+
+_group_run_v3 = jax.jit(_group_run_v3_body, static_argnames=(
+    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'with_alns'))
+
+
+@lru_cache(maxsize=128)
+def _make_sharded_group_run_v3(mesh, Lq, Lr, K, mqd, mrd, reg,
+                               with_alns=False):
+    """v3 analog of _make_sharded_group_run: dispatch rows sharded over
+    the mesh, arena replicated."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    body = partial(_group_run_v3_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd,
+                   mrd=mrd, reg=reg, with_alns=with_alns)
+    rep = (P(), P(), P(), {'fwd': P(), 'qocc': P()})
+    sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
+    out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
+        else P(axis, None, None)
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
+
+
 def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
     """Dispatch rows per chunk: bound the sort working set (~8M join
     entries per dispatch) so device work per dispatch stays >> launch
@@ -844,11 +1191,10 @@ def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
     return max(4, min(128, (1 << 23) // W))
 
 
-PHASE1_C = int(_os_tune.environ.get('VCLUST_ALIGN_P1C', 8))
-RERUN_LO = float(_os_tune.environ.get('VCLUST_ALIGN_RERUN_LO', 0.10))
-RERUN_HI = float(_os_tune.environ.get('VCLUST_ALIGN_RERUN_HI', 0.97))
-TWO_PHASE_MIN_BUCKET = int(_os_tune.environ.get('VCLUST_ALIGN_TP_MIN',
-                                                16384))
+PHASE1_C = _env_num('VCLUST_ALIGN_P1C', 8, 1, 32)
+RERUN_LO = _env_num('VCLUST_ALIGN_RERUN_LO', 0.10, 0.0, 1.0, cast=float)
+RERUN_HI = _env_num('VCLUST_ALIGN_RERUN_HI', 0.97, 0.0, 1.0, cast=float)
+TWO_PHASE_MIN_BUCKET = _env_num('VCLUST_ALIGN_TP_MIN', 16384, 0, 1 << 30)
 
 
 def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
@@ -864,7 +1210,15 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     election) at full density. All-vs-all corpora are dominated by junk +
     strong-mutant pairs, so the rerun set is small. Explicit
     `seeds_per_block`, `keep_alignments`, or VCLUST_ALIGN_TWO_PHASE=0
-    selects the single-phase path."""
+    selects the single-phase path.
+
+    Reproducibility note (user-facing, also in README): because
+    keep_alignments forces single-phase full density, aggregate measures
+    for pairs outside the rerun band can differ at the last decimals
+    between runs with and without --out-aln; set VCLUST_ALIGN_TWO_PHASE=0
+    to force identical single-phase measures in both modes. Band
+    classification uses padded code lengths (including 64-N contig
+    joiners), a <0.1% bias on the classification threshold only."""
     idx = index or GenomeIndexTPU(codes_list)
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
     single = (seeds_per_block is not None or keep_alignments
@@ -1014,6 +1368,7 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     if _timing:
         _t0 = _time.time()
     task_alns = {}   # (prow, col) -> (n, 6) int32 records
+    saturated = []   # pairs whose per-pair record cap (MAXSEG) filled up
     for results, rows, B, K in pending:   # transfers post-dispatch
         if keep_alignments:
             flat = np.concatenate(
@@ -1040,10 +1395,23 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                 if keep_alignments:
                     rr = recs[w, t_i]
                     task_alns[(prow, col)] = rr[rr[:, 0] >= 0]
+                    if rr[-1, 0] >= 0:
+                        saturated.append(tuple(pairs[prow]))
     if _timing:
         print(f'[timing] fetch loop: {_time.time() - _t0:.1f}s', flush=True)
     if not keep_alignments:
         return out
+    if saturated:
+        # Aggregates (num_alns etc.) stay exact; only the emitted rows are
+        # capped, so the row count can silently disagree with num_alns for
+        # segment-heavy pairs. Surface that instead of burying it in docs.
+        from ..utils.logging import get_logger
+        get_logger().warning(
+            f'{len(saturated)} directed pair(s) hit the per-pair alignment '
+            f'record cap; their --out-aln rows are truncated (aggregates '
+            f'remain exact). Affected id pairs: '
+            + ', '.join(f'({i},{j})' for i, j in saturated[:8])
+            + ('...' if len(saturated) > 8 else ''))
     counts = np.zeros(2 * len(pairs), dtype=np.int64)
     blocks = []
     for prow in range(len(pairs)):

@@ -206,12 +206,14 @@ def test_tpu_engine_multi_contig_genomes():
     assert next(iter(exact.values())).tani > 0.8
 
 
-def test_two_phase_rerun_matches_full_density():
-    """The default two-phase path (sparse C=8 screen, weak-homology band
+def test_two_phase_rerun_matches_full_density(monkeypatch):
+    """The v2 two-phase path (sparse C=8 screen, weak-homology band
     rerun at C=16) must return bit-identical aggregates to the
-    single-phase full-density run for pairs inside the rerun band."""
+    single-phase full-density run for pairs inside the rerun band.
+    Pinned to the v2 pipe: the default v3 pipe has no sampling screen."""
     import numpy as np
     from vclust_tpu.ops import align_tpu
+    monkeypatch.setenv('VCLUST_ALIGN_PIPE', 'v2')
     rng = np.random.default_rng(9)
     base = rng.integers(0, 4, 20000).astype(np.int8)
     weak = base.copy()                      # ~75% identity -> in band
@@ -234,3 +236,42 @@ def test_two_phase_rerun_matches_full_density():
     assert abs(t_two[1] - t_full[1]) <= 0.01
     # Junk pair: below the band floor either way.
     assert t_two[2] <= align_tpu.RERUN_LO
+
+
+def test_v3_weak_homology_stress():
+    """The v3 MXU pipe's stage-1 SNR design point: a ~75%-identity pair
+    (8-mer seed survival ~10%) plus a mosaic pair with an inverted and a
+    translocated segment must track the exact engine. This is the regime
+    that broke sparse sampling in v2 (C=8 err 0.047 at tANI~0.6) and
+    constrains V3_H / V3_SMIN from below."""
+    import numpy as np
+    from vclust_tpu.ops import align_tpu
+    from vclust_tpu.ops.lz_parse_py import AlignParams, ReferenceIndex, \
+        parse_pair
+    rng = np.random.default_rng(11)
+    L = 20000
+    base = rng.integers(0, 4, L).astype(np.int8)
+    weak = base.copy()
+    mask = rng.random(L) < 0.25
+    weak[mask] = rng.integers(0, 4, mask.sum())
+    # Mosaic: 5 kb inverted (revcomp) + two 5 kb segments swapped.
+    mos = base.copy()
+    mos[5000:10000] = (3 - base[5000:10000])[::-1]
+    mos[10000:15000], mos[15000:20000] = (base[15000:20000].copy(),
+                                          base[10000:15000].copy())
+    mmask = rng.random(L) < 0.03
+    mos[mmask] = rng.integers(0, 4, mmask.sum())
+    codes = [base, weak, mos]
+    pairs = np.array([(0, 1), (0, 2)], dtype=np.int32)
+    got = align_tpu.all2all_tpu(codes, pairs)
+    params = AlignParams()
+
+    def exact_dir(q, r):
+        alns = parse_pair(codes[q], ReferenceIndex(codes[r], params), params)
+        return sum(a.nt_match for a in alns)
+
+    for k, (i, j) in enumerate(pairs):
+        t_tpu = (got[k][1] + got[k][4]) / (2 * L)
+        t_ex = (exact_dir(j, i) + exact_dir(i, j)) / (2 * L)
+        assert t_ex > 0.4
+        assert abs(t_tpu - t_ex) <= 0.015, (i, j, t_tpu, t_ex)

@@ -108,3 +108,20 @@ def test_kmers_fraction_semantics(test_dir):
     for key, v in sampled.entries.items():
         if key not in golden.entries:
             assert v < 0.95
+
+
+def test_fraction_batched_matches_unbatched(test_dir):
+    """Cross-batch determinism at --kmers-fraction < 1 (reference
+    large.yml:62-66 runs IMGVR at fraction 0.2 WITH --batch-size, so the
+    subsample must be a pure per-k-mer-value rule — identical whether a
+    genome is indexed in one batch or across many): the batched CLI run
+    must produce byte-identical fltr.txt to the unbatched one."""
+    out_a = test_dir / 'a.txt'
+    out_b = test_dir / 'b.txt'
+    pa = run_vclust(['prefilter', '-i', FASTA_FILE, '-o', out_a,
+                     '--min-kmers', '4', '--kmers-fraction', '0.3'])
+    pb = run_vclust(['prefilter', '-i', FASTA_FILE, '-o', out_b,
+                     '--min-kmers', '4', '--kmers-fraction', '0.3',
+                     '--batch-size', '4'])
+    assert pa.returncode == 0 and pb.returncode == 0
+    assert out_a.read_bytes() == out_b.read_bytes()

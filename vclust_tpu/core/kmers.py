@@ -48,8 +48,14 @@ def canonical_kmers(codes: np.ndarray, k: int) -> np.ndarray:
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — used for the --kmers-fraction MinHash-style
-    subsample (reference vclust.py:240-248; exact hash is [EXTERNAL],
-    parity only required at fraction=1.0)."""
+    subsample (reference vclust.py:240-248). This is the standard
+    fraction rule hash(kmer) <= f*(2**64-1) with a fixed 64-bit mixer;
+    kmer-db's own `-f` hash function lives in its absent C++ submodule,
+    so fltr.txt at fraction < 1 is NOT byte-comparable to kmer-db output
+    (parity is only required, and holds, at fraction = 1.0). The rule is
+    a pure function of the k-mer value, so the subsample is deterministic
+    across runs, batches and hosts (pinned by
+    tests/test_prefilter.py::test_fraction_batched_matches_unbatched)."""
     x = x.copy()
     x ^= x >> np.uint64(30)
     x *= np.uint64(0xBF58476D1CE4E5B9)

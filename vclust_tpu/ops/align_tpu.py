@@ -899,6 +899,40 @@ class GenomeIndexTPU:
         self.bucket[(Lp, C)] = d
         return d
 
+    def ensure_v3(self, Lp: int, gids) -> dict:
+        """v3 arrays for bucket Lp covering at least genomes `gids`:
+        canonical occupancy matrices + wide window rows (no sampling
+        knob — the matmul always runs at full seed density)."""
+        from ..core.seq import revcomp_codes
+        key = (Lp, 'v3')
+        cur = self.bucket.get(key)
+        need = set(int(g) for g in gids)
+        if cur is not None and need <= cur['rows'].keys():
+            return cur
+        members = sorted(need | (set(cur['rows']) if cur else set()))
+        G = len(members)
+        fwd = np.full((G, Lp), 4, dtype=np.int8)
+        rc = np.full((G, Lp), 4, dtype=np.int8)
+        rows = {}
+        for row, i in enumerate(members):
+            fwd[row, :self.lens[i]] = self.codes[i]
+            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
+            rows[i] = row
+        fwd_d = jnp.asarray(fwd)
+        rc_d = jnp.asarray(rc)
+        parts = []
+        for lo in range(0, G, self.rows_chunk):
+            parts.append(_index_block_v3(fwd_d[lo:lo + self.rows_chunk],
+                                         rc_d[lo:lo + self.rows_chunk],
+                                         self.k, Lp))
+        qocc, rocc, roww_f, roww_r = (
+            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+            for xs in zip(*parts))
+        d = dict(fwd=fwd_d, qocc=qocc, rocc=rocc, roww_f=roww_f,
+                 roww_r=roww_r, rows=rows)
+        self.bucket[key] = d
+        return d
+
 
 # ==========================================================================
 # v3 front end: MXU occupancy-matmul candidate generation + banded eval
@@ -1017,11 +1051,20 @@ def _index_block_v3(fwd, rc, k: int, Lp: int):
 
 def _tree_slice(w, t, out_width, tmax):
     """w[..., t:t+out_width] for per-element t in [0, tmax] via a binary
-    where-tree of static slices (no gathers)."""
-    out = w
-    bit = 1 << (int(tmax).bit_length() - 1)
+    where-tree of static slices (no gathers). Requires
+    w.shape[-1] >= tmax + out_width (true for all band selects); w is
+    padded up to the exact budget T2 + out_width - 1 (T2 = next pow2
+    above tmax) so every slice is statically in bounds."""
+    T2 = 1 << int(tmax).bit_length()
+    W0 = T2 + out_width - 1
+    if w.shape[-1] < W0:
+        pad = jnp.zeros(w.shape[:-1] + (W0 - w.shape[-1],), w.dtype)
+        out = jnp.concatenate([w, pad], axis=-1)
+    else:
+        out = w[..., :W0]
+    bit = T2 >> 1
     while bit:
-        keep = max(out_width, out.shape[-1] - bit)
+        keep = out.shape[-1] - bit
         out = jnp.where((t & bit > 0)[..., None], out[..., bit:bit + keep],
                         out[..., :keep])
         bit >>= 1
@@ -1029,11 +1072,530 @@ def _tree_slice(w, t, out_width, tmax):
 
 
 def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
-                 *, Lq, Lr, K, mqd, mrd, reg, with_alns=False, debug=False):
+                 tband, smin,
+                 *, Lq, Lr, K, mqd, mrd, reg, ncand=2, with_alns=False,
+                 debug=False):
     """v3 aggregates for K directed pairs sharing one reference.
 
     rocc: (NRB, H) int8; roww_f/roww_r: (NRB, ROWW) int8; qocc:
-    (K, NQB, H) int8; q_fwd: (K, Lq) int8; rlen scalar, qlens (K,)."""
+    (K, NQB, H) int8; q_fwd: (K, Lq) int8; rlen scalar, qlens (K,);
+    tband/smin: TRACED election thresholds (int32 scalars) so threshold
+    tuning re-dispatches without recompiling."""
+    g3 = _v3_geom(Lq, Lr)
+    WQ, BAND, WIN, NQB, NRB, FPB = (g3['WQ'], g3['BAND'], g3['WIN'],
+                                    g3['NQB'], g3['NRB'], g3['FPB'])
+    NBF = Lq // FINE
+
+    # --- 1. stage-1 occupancy matmul + top-2 nonadjacent coarse argmax --
+    M = jnp.einsum('kqh,rh->kqr', qocc.astype(jnp.bfloat16),
+                   rocc.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
+    packed = (M << 13) | r_inv
+    best = jnp.max(packed, axis=-1)                # count desc, r asc
+    cnt1 = best >> 13                              # (K, NQB)
+    g1 = 8191 - (best & 8191)
+    if ncand > 1:
+        # Second candidate from a genuinely different reference region
+        # (mosaic rescue: an inversion/translocation boundary inside a
+        # coarse block leaves its other half invisible to candidate 1).
+        near = jnp.abs(jnp.arange(NRB, dtype=jnp.int32)[None, None, :]
+                       - g1[..., None]) <= 4
+        best2 = jnp.max(jnp.where(near, -1, packed), axis=-1)
+        cnt2 = best2 >> 13
+        g2 = 8191 - (best2 & 8191)
+    if _ABLATE == 'join':
+        s = jnp.sum(cnt1, axis=-1) + jnp.sum(g1, axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
+
+    # --- 2. window rows (the only gathers: one wide row per coarse
+    # block per candidate per strand) ------------------------------------
+    def mirror(g):
+        return jnp.clip((rlen - 32 * g - 32) >> 5, 0, NRB - 1)
+
+    def fine_windows(row):
+        w = jnp.stack([row[..., u * 32 + 16: u * 32 + 16 + WIN]
+                       for u in range(FPB)], axis=-2)
+        return w.reshape(K, NBF, WIN)
+
+    qb = q_fwd.reshape(K, NBF, FINE)
+    qok = qb < 4
+
+    # --- 3. banded base eval: 32-step fused shift-compare-accumulate ----
+    def band_counts(w):
+        acc = None
+        for p in range(FINE):
+            e = ((w[..., p:p + BAND] == qb[..., p:p + 1])
+                 & qok[..., p:p + 1]).astype(jnp.int8)
+            acc = e if acc is None else acc + e
+        return acc                                  # (K, NBF, BAND) int8
+
+    fc = jnp.arange(NBF, dtype=jnp.int32) // FPB   # coarse block of fb
+    Qs = fc * WQ
+
+    def mkband(g, strand_rows, is_rc, cn):
+        w = fine_windows(strand_rows[g])
+        base = (32 * g)[:, fc] - Qs[None, :] - WQ - 16
+        return dict(base=base, cnt=band_counts(w), win=w, is_rc=is_rc,
+                    cand1=cn == 0)
+
+    bands = [mkband(g1, roww_f, False, 0), mkband(mirror(g1), roww_r,
+                                                  True, 0)]
+    if ncand > 1:
+        bands += [mkband(g2, roww_f, False, 1), mkband(mirror(g2),
+                                                       roww_r, True, 1)]
+
+    # --- 4. election across all bands; ties prefer candidate 1, then
+    # the forward strand, then the smaller shift (v2's smallest-code
+    # rule) ---------------------------------------------------------------
+    tinv = jnp.int32(511) - jnp.arange(BAND, dtype=jnp.int32)
+    bb = None
+    for b_ in bands:
+        tag = (2048 if b_['cand1'] else 0) | (0 if b_['is_rc'] else 1024)
+        p_ = jnp.max((b_['cnt'].astype(jnp.int32) << 12) | tag | tinv,
+                     axis=-1)
+        bb = p_ if bb is None else jnp.maximum(bb, p_)
+    cnt_best = bb >> 12
+    C1 = (bb & 2048) > 0
+    S = (bb & 1024) == 0                           # True = reverse strand
+    t_el = 511 - (bb & 511)
+    base1 = jnp.where(S, bands[1]['base'], bands[0]['base'])
+    if ncand > 1:
+        base_sel = jnp.where(C1, base1,
+                             jnp.where(S, bands[3]['base'],
+                                       bands[2]['base']))
+        cnt1_f = jnp.where(C1, cnt1[:, fc], cnt2[:, fc])
+    else:
+        base_sel = base1
+        cnt1_f = cnt1[:, fc]
+    D = base_sel + t_el
+    # Election thresholds scale down on partial tail blocks (fewer than
+    # FINE valid query positions can never reach the full-block bound).
+    vq = jnp.sum(qok.astype(jnp.int32), axis=-1)
+    tband_b = jnp.minimum(tband, jnp.maximum(4, (vq * tband) // FINE))
+    A = (cnt_best >= tband_b) & (cnt1_f >= smin)
+    if _ABLATE == 'elect':
+        s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(cnt_best, -1)
+        return jnp.stack([s, s, s], axis=-1)
+
+    # --- 5. propagation: neighbors' diagonals read straight out of the
+    # band counts (no re-eval); any band containing the diagonal serves -
+    def count_at(Sx, Dx):
+        out = None
+        for b_ in bands:
+            tn = Dx - b_['base']
+            ok = (Sx == b_['is_rc']) & (tn >= 0) & (tn < BAND)
+            cv = _tree_slice(b_['cnt'], jnp.clip(tn, 0, BAND - 1), 1,
+                             BAND - 1)[..., 0].astype(jnp.int32)
+            cv = jnp.where(ok, cv, -1)
+            out = cv if out is None else jnp.maximum(out, cv)
+        return out
+
+    cnt_cur = jnp.where(A, cnt_best, -1)
+    for _ in range(EXT_ITERS):
+        for shf in (_sh_r, _sh_l):
+            Dn = shf(D, 1, jnp.int32(0))
+            Sn = shf(S, 1, False)
+            An = shf(A, 1, False)
+            cn = jnp.where(An, count_at(Sn, Dn), -1)
+            better = (cn >= EXT_MIN) & (cn > cnt_cur + EXT_MARGIN)
+            D = jnp.where(better, Dn, D)
+            S = jnp.where(better, Sn, S)
+            A = A | better
+            cnt_cur = jnp.where(better, cn, cnt_cur)
+
+    # --- 6. final per-position flags from the windows (bands holding the
+    # same (strand, diagonal) show the same reference bases, so OR-ing
+    # across containing bands is exact) ----------------------------------
+    def flags_at(Sx, Dx, okx):
+        m = None
+        for b_ in bands:
+            tn = Dx - b_['base']
+            ok = okx & (Sx == b_['is_rc']) & (tn >= 0) & (tn < BAND)
+            seg = _tree_slice(b_['win'], jnp.clip(tn, 0, BAND - 1), FINE,
+                              BAND - 1)
+            mx = (qb == seg) & qok & ok[..., None]
+            m = mx if m is None else m | mx
+        return m.reshape(K, Lq)
+
+    m1 = flags_at(S, D, A)
+    Ap = _sh_r(A, 1, False)
+    Sp = _sh_r(S, 1, False)
+    Dp = _sh_r(D, 1, jnp.int32(0))
+    switchable = A & Ap & ((D != Dp) | (S != Sp))
+    m0 = flags_at(Sp, Dp, switchable)
+    if _ABLATE == 'eval':
+        s = jnp.sum(m1.astype(jnp.int32), axis=-1)
+        return jnp.stack([s, s, s], axis=-1)
+    return _blocks_to_measures(
+        m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen, K=K, Lq=Lq,
+        mqd=mqd, mrd=mrd, reg=reg, with_alns=with_alns, debug=debug,
+        debug_extra=dict(vb=vb, votes=votes) if debug else None)
+
+
+def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
+                    r_rows, rlens, q_rows, qlens,
+                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits, C=None,
+                    with_alns=False):
+    """One device program for a chunk of dispatch rows: vmap over B rows,
+    each row = one reference x K queries. r_rows/rlens: (B,), q_rows/qlens:
+    (B, K). Returns (B, K, 3), plus (B, K, MAXSEG, 6) when with_alns."""
+    core = partial(_row_core, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                   pack_bits=pack_bits, C=C, with_alns=with_alns)
+
+    def row(rr, rl, qr, ql):
+        return core(sv_f[rr], pk1_f[rr], pk2_f[rr], sv_r[rr], pk1_r[rr],
+                    pk2_r[rr], r2dov[rr], rl, qv['fwd'][qr], qv['qsv'][qr],
+                    qv['qoff'][qr], ql)
+
+    return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
+
+
+_group_run = jax.jit(_group_run_body, static_argnames=(
+    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits', 'C', 'with_alns'))
+
+
+@lru_cache(maxsize=128)
+def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
+                            C=None, with_alns=False):
+    """Pair-grid data parallelism over the mesh: the row axis of one
+    bucket-combination group is sharded across devices; the genome arena
+    is replicated (the sketch-allgather design of SURVEY.md section 7 —
+    pair tiles ride ICI-free, each device runs its row slice)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    body = partial(_group_run_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
+                   reg=reg, pack_bits=pack_bits, C=C, with_alns=with_alns)
+    rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P(), 'qoff': P()},)
+    sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
+    out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
+        else P(axis, None, None)
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
+
+
+@partial(jax.jit, static_argnames=('k', 'pack_bits', 'C'))
+def _index_block(fwd, rc, k: int, pack_bits: int, C: int = None):
+    """Per-genome device index build for one bucket chunk: stratified
+    sampled query seeds (top-C per fine block by value hash) plus, per
+    strand, value-sorted packed candidate arrays over the same sampling
+    and the overlapped eval window rows. Sampling by VALUE keeps the two
+    join sides consistent: a matching seed is kept or dropped on both
+    sides together (ties inside a block resolve by position via the
+    stable sort, so the selection is deterministic)."""
+    G, Lp = fwd.shape
+    C = SEEDS_PER_BLOCK if C is None else C
+    NBF = Lp // FINE
+    NQ = NBF * C
+    kv = jax.vmap(partial(kmer_vals, k=k))
+    qv_f = kv(fwd)
+    qv_r = kv(rc)
+
+    def select(qv_s):
+        """Top-C seeds per fine block by value hash: (vals, offs) with
+        vals = -1 where the block has fewer than C valid seeds."""
+        v = qv_s.reshape(G, NBF, FINE)
+        h = ((v.astype(jnp.uint32) * jnp.uint32(2654435761))
+             >> 16).astype(jnp.int32)
+        h = jnp.where(v < 0, BIG, h)
+        off0 = jnp.broadcast_to(jnp.arange(FINE, dtype=jnp.int32), v.shape)
+        hs, offs, vals = jax.lax.sort((h, off0, v), num_keys=1, dimension=2)
+        sel_valid = hs[:, :, :C].reshape(G, NQ) < BIG
+        sel_v = jnp.where(sel_valid, vals[:, :, :C].reshape(G, NQ), -1)
+        return sel_v, offs[:, :, :C].reshape(G, NQ)
+
+    qsv, qoff = select(qv_f)
+
+    def strand(qv_s):
+        sel_v, sel_off = select(qv_s)
+        pos = ((jnp.arange(NQ, dtype=jnp.int32) // C) * FINE)[None, :] \
+            + sel_off
+        vs = jnp.where(sel_v < 0, BIG, sel_v)
+        sv, spos = jax.lax.sort((vs, pos), num_keys=1, dimension=1)
+        prev_same = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
+        spred = jnp.where(prev_same, _sh_r(spos, 1, jnp.int32(0)), -1)
+        valid = sv < BIG
+        if pack_bits == 32:
+            # pos+1 keeps 0 as the unambiguous no-candidate sentinel (a
+            # value-0 seed at position 0 would otherwise pack to 0); valid
+            # seeds end >= k before the bucket edge so pos+1 < 2**16.
+            pk1 = jnp.where(valid, (sv.astype(jnp.uint32) << 16)
+                            | (spos.astype(jnp.uint32) + 1), 0)
+            pk2 = jnp.where(valid & (spred >= 0),
+                            (sv.astype(jnp.uint32) << 16)
+                            | (spred.astype(jnp.uint32) + 1), 0)
+            return sv, pk1, pk2
+        # int64 triple pack: value<<40 | (pos+1)<<20 | (pred+1); the +1
+        # reserves 0 as the no-candidate sentinel inside each field, and
+        # the 20-bit position fields hold pos+1 up to 2**20 (MAX_TPU_LEN;
+        # longer genomes are rejected at index build).
+        p64 = (sv.astype(jnp.int64) << 40) \
+            | ((spos.astype(jnp.int64) + 1) << 20) \
+            | jnp.where(spred >= 0, spred.astype(jnp.int64) + 1, 0)
+        pk1 = jnp.where(valid, p64, 0)
+        return sv, pk1, pk1
+
+    sv_f, pk1_f, pk2_f = strand(qv_f)
+    sv_r, pk1_r, pk2_r = strand(qv_r)
+
+    # Overlapped 64-wide window rows per 32 positions (both strands
+    # stacked), with one all-pad lead row per strand so slightly-negative
+    # window starts read never-matching pad bases instead of wrapping.
+    pad = jnp.full((G, FINE), 4, jnp.int8)
+    lead = jnp.full((G, 1, 2 * FINE), 4, jnp.int8)
+
+    def rows(codes):
+        a = jnp.concatenate([codes, pad], axis=1).reshape(G, -1, FINE)
+        ov = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=-1)
+        return jnp.concatenate([lead, ov], axis=1)
+
+    r2dov = jnp.concatenate([rows(fwd), rows(rc)], axis=1)
+    return qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov
+
+
+class GenomeIndexTPU:
+    """Device-resident per-bucket genome arena: padded codes, sampled
+    query seed arrays and per-strand value-sorted packed candidate arrays
+    + overlapped window rows (reference role). Buckets build LAZILY:
+    all2all_tpu pads every pair to its max bucket (round 4), so only the
+    diagonal (B, B) bucket programs compile — half the round-3 program
+    count — and a genome is indexed at exactly the bucket sizes its pairs
+    need. Each (bucket, genome-set) build is cached on the index."""
+
+    def __init__(self, codes_list: Sequence[np.ndarray], k: int = SEED_K,
+                 rows_chunk: int = 512):
+        self.k = k
+        self.rows_chunk = rows_chunk
+        self.codes = [np.asarray(c, dtype=np.int8) for c in codes_list]
+        self.lens = np.array([len(c) for c in self.codes], dtype=np.int32)
+        self.bucket = {}   # Lp -> dict of stacked device arrays + row map
+        # Genomes beyond the seed-pack position range are not indexed;
+        # all2all_tpu rejects pairs touching them (models/align.py routes
+        # such pairs to the exact native engine instead).
+        self.oversized = {i for i, c in enumerate(self.codes)
+                          if len(c) > MAX_TPU_LEN}
+
+    def ensure(self, Lp: int, gids, C: int = None) -> dict:
+        """Arrays for bucket Lp covering at least genomes `gids`, sampled
+        at C seeds per fine block (default SEEDS_PER_BLOCK)."""
+        from ..core.seq import revcomp_codes
+        C = SEEDS_PER_BLOCK if C is None else C
+        cur = self.bucket.get((Lp, C))
+        need = set(int(g) for g in gids)
+        if cur is not None and need <= cur['rows'].keys():
+            return cur
+        members = sorted(need | (set(cur['rows']) if cur else set()))
+        G = len(members)
+        pack_bits = 32 if Lp <= 65536 else 64
+        fwd = np.full((G, Lp), 4, dtype=np.int8)
+        rc = np.full((G, Lp), 4, dtype=np.int8)
+        rows = {}
+        for row, i in enumerate(members):
+            fwd[row, :self.lens[i]] = self.codes[i]
+            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
+            rows[i] = row
+        fwd_d = jnp.asarray(fwd)
+        rc_d = jnp.asarray(rc)
+        parts = []
+        with _x64(pack_bits):
+            for lo in range(0, G, self.rows_chunk):
+                parts.append(_index_block(fwd_d[lo:lo + self.rows_chunk],
+                                          rc_d[lo:lo + self.rows_chunk],
+                                          self.k, pack_bits, C))
+        qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
+            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+            for xs in zip(*parts))
+        d = dict(fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
+                 pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
+                 r2dov=r2dov, pack_bits=pack_bits, rows=rows)
+        self.bucket[(Lp, C)] = d
+        return d
+
+    def ensure_v3(self, Lp: int, gids) -> dict:
+        """v3 arrays for bucket Lp covering at least genomes `gids`:
+        canonical occupancy matrices + wide window rows (no sampling
+        knob — the matmul always runs at full seed density)."""
+        from ..core.seq import revcomp_codes
+        key = (Lp, 'v3')
+        cur = self.bucket.get(key)
+        need = set(int(g) for g in gids)
+        if cur is not None and need <= cur['rows'].keys():
+            return cur
+        members = sorted(need | (set(cur['rows']) if cur else set()))
+        G = len(members)
+        fwd = np.full((G, Lp), 4, dtype=np.int8)
+        rc = np.full((G, Lp), 4, dtype=np.int8)
+        rows = {}
+        for row, i in enumerate(members):
+            fwd[row, :self.lens[i]] = self.codes[i]
+            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
+            rows[i] = row
+        fwd_d = jnp.asarray(fwd)
+        rc_d = jnp.asarray(rc)
+        parts = []
+        for lo in range(0, G, self.rows_chunk):
+            parts.append(_index_block_v3(fwd_d[lo:lo + self.rows_chunk],
+                                         rc_d[lo:lo + self.rows_chunk],
+                                         self.k, Lp))
+        qocc, rocc, roww_f, roww_r = (
+            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+            for xs in zip(*parts))
+        d = dict(fwd=fwd_d, qocc=qocc, rocc=rocc, roww_f=roww_f,
+                 roww_r=roww_r, rows=rows)
+        self.bucket[key] = d
+        return d
+
+
+# ==========================================================================
+# v3 front end: MXU occupancy-matmul candidate generation + banded eval
+# ==========================================================================
+# Round-5 redesign of stages 1-2b driven by tools/microbench_r5.py: on v5e
+# every content-addressed XLA primitive costs O(ns) per element (sort 1.9
+# ns/elem, gathers 6.7 ns/row regardless of width, scatter 4.7) so the
+# ~30k seed lookups per directed pair floor the v2 sort join at ~300 us
+# and the vote-election small-row sorts at another ~150 us. The only
+# units with headroom are the MXU and fused VPU elementwise chains, so v3
+# replaces the join+election with:
+#
+#   1. **Canonical-k-mer occupancy matmul (MXU).** Per genome, a 0/1
+#      occupancy matrix over V3_H hashed buckets of canonical 8-mers
+#      (min(v, revcomp(v)) — strand-invariant, so ONE matrix serves both
+#      strands and one matmul scores both orientations at once): query
+#      blocks of V3_WQ positions x reference blocks of 32. M = Qocc @
+#      Rocc^T gives shared-seed counts for every (query-block, ref-block)
+#      combination; the argmax per query block is the coarse candidate
+#      region. ~2.1 GFLOP bf16 per directed pair at the 64 kb bucket —
+#      full seed density (no sampling) for less than the cost the v2 join
+#      paid for 1/2 density.
+#   2. **Banded base-level eval (fused VPU).** Around each coarse
+#      candidate, all V3_BAND diagonal shifts are evaluated on the bases
+#      directly: one wide window row-gather per coarse block (the only
+#      gather), then an unrolled 32-step shift-compare-accumulate that
+#      XLA fuses into a single pass. This replaces the fine/coarse vote
+#      election sorts AND the eval/propagation re-evals of v2: the per-
+#      fine-block elected diagonal is the band argmax, neighbor
+#      propagation reads counts straight out of the band, and the final
+#      match flags are a where-tree select from the same windows.
+#   3. The shared back half (_blocks_to_measures) is unchanged.
+#
+# The mirror trick for the reverse strand: a canonical match at ref block
+# g can be forward or reverse; the reverse candidate window is the mirror
+# of [32g, 32g+32) in the rc string (true position rlen-32g-32, floored
+# to the 32-grid; the band's +-slack absorbs the floor). Both strands'
+# bands are evaluated and the per-fine-block winner takes all, with ties
+# preferring the forward strand like v2's smallest-code rule.
+#
+# Large buckets route back to v2: the matmul is quadratic in bucket size
+# (fine through V3_MAX_BUCKET, the v2 sort join scales better beyond).
+
+V3_H = _env_num('VCLUST_ALIGN_V3_H', 2048, 256, 16384)
+#                    hashed canonical-seed buckets of the occupancy
+#                    matrices. SNR argument: a 128-wide query block holds
+#                    ~120 seeds, a 32-wide ref block ~28, so collision
+#                    noise per cell is ~120*28/2048 = 1.6 +- 1.3 while
+#                    true blocks at 75% identity share ~12 seeds.
+V3_WQ = _env_num('VCLUST_ALIGN_V3_WQ', 128, 64, 512)
+#                    stage-1 query block width (multiple of 32; all
+#                    length buckets divide by 128). Wider = cheaper
+#                    matmul + better SNR but a wider eval band.
+V3_SMIN = _env_num('VCLUST_ALIGN_V3_SMIN', 5, 1, 512)
+#                    stage-1 shared-seed count a coarse candidate needs
+#                    before its fine blocks may elect (junk guard).
+V3_TBAND = _env_num('VCLUST_ALIGN_V3_TBAND', 17, 1, 32)
+#                    base matches (of FINE) the band winner needs to
+#                    elect — the aw/am density bound (>= 53%), same
+#                    constant as EXT_MIN.
+V3_MAX_BUCKET = _env_num('VCLUST_ALIGN_V3_MAXB', 131072, 4096, 1 << 20)
+
+
+def _v3_geom(Lq, Lr):
+    WQ = V3_WQ
+    BAND = WQ + 96          # diagonal shifts evaluated per fine block
+    WIN = BAND + FINE       # per-fine-block window width
+    ROWW = -(-(WQ - 16 + WIN) // 32) * 32   # wide window row width
+    return dict(WQ=WQ, BAND=BAND, WIN=WIN, ROWW=ROWW,
+                NQB=Lq // WQ, NRB=Lr // FINE, FPB=WQ // FINE)
+
+
+def _canon_hash(vals):
+    """Hash bucket of the canonical 8-mer for packed values (int32, -1 =
+    invalid): min(v, revcomp(v)) through a Knuth multiplicative hash.
+    Returns -1 for invalid positions (dropped by scatter)."""
+    rc = jnp.zeros_like(vals)
+    t = vals
+    for _ in range(SEED_K):
+        rc = (rc << 2) | ((t & 3) ^ 3)
+        t = t >> 2
+    vc = jnp.minimum(vals, rc).astype(jnp.uint32)
+    shift = 32 - int(np.log2(V3_H))
+    h = (vc * jnp.uint32(2654435761)) >> shift
+    return jnp.where(vals >= 0, h.astype(jnp.int32), -1)
+
+
+@partial(jax.jit, static_argnames=('k', 'Lp'))
+def _index_block_v3(fwd, rc, k: int, Lp: int):
+    """Per-genome v3 device index for one bucket chunk: canonical
+    occupancy matrices (query blocks of WQ / ref blocks of FINE) and the
+    wide window rows both strands. fwd/rc: (G, Lp) int8 codes."""
+    g3 = _v3_geom(Lp, Lp)
+    WQ, NQB, NRB, ROWW = g3['WQ'], g3['NQB'], g3['NRB'], g3['ROWW']
+    G = fwd.shape[0]
+    vals = jax.vmap(partial(kmer_vals, k=k))(fwd)
+    h = _canon_hash(vals)                          # (G, Lp)
+    gi = jnp.arange(G, dtype=jnp.int32)[:, None]
+    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    one = jnp.ones((G, Lp), jnp.int8)
+    qocc = jnp.zeros((G, NQB, V3_H), jnp.int8).at[
+        gi, pos // WQ, h].max(one, mode='drop')
+    rocc = jnp.zeros((G, NRB, V3_H), jnp.int8).at[
+        gi, pos // FINE, h].max(one, mode='drop')
+
+    def rows(codes):
+        lead = jnp.full((G, WQ + 32), 4, jnp.int8)
+        tail = jnp.full((G, ROWW), 4, jnp.int8)
+        P = jnp.concatenate([lead, codes, tail], axis=1)
+        return jnp.concatenate(
+            [P[:, 32 * j:32 * j + NRB * 32].reshape(G, NRB, 32)
+             for j in range(ROWW // 32)], axis=-1)   # (G, NRB, ROWW)
+
+    return qocc, rocc, rows(fwd), rows(rc)
+
+
+def _tree_slice(w, t, out_width, tmax):
+    """w[..., t:t+out_width] for per-element t in [0, tmax] via a binary
+    where-tree of static slices (no gathers). Requires
+    w.shape[-1] >= tmax + out_width (true for all band selects); w is
+    padded up to the exact budget T2 + out_width - 1 (T2 = next pow2
+    above tmax) so every slice is statically in bounds."""
+    T2 = 1 << int(tmax).bit_length()
+    W0 = T2 + out_width - 1
+    if w.shape[-1] < W0:
+        pad = jnp.zeros(w.shape[:-1] + (W0 - w.shape[-1],), w.dtype)
+        out = jnp.concatenate([w, pad], axis=-1)
+    else:
+        out = w[..., :W0]
+    bit = T2 >> 1
+    while bit:
+        keep = out.shape[-1] - bit
+        out = jnp.where((t & bit > 0)[..., None], out[..., bit:bit + keep],
+                        out[..., :keep])
+        bit >>= 1
+    return out[..., :out_width]
+
+
+def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
+                 tband, smin,
+                 *, Lq, Lr, K, mqd, mrd, reg, ncand=2, with_alns=False,
+                 debug=False):
+    """v3 aggregates for K directed pairs sharing one reference.
+
+    rocc: (NRB, H) int8; roww_f/roww_r: (NRB, ROWW) int8; qocc:
+    (K, NQB, H) int8; q_fwd: (K, Lq) int8; rlen scalar, qlens (K,);
+    tband/smin: TRACED election thresholds (int32 scalars) so threshold
+    tuning re-dispatches without recompiling."""
     g3 = _v3_geom(Lq, Lr)
     WQ, BAND, WIN, NQB, NRB, FPB = (g3['WQ'], g3['BAND'], g3['WIN'],
                                     g3['NQB'], g3['NRB'], g3['FPB'])
@@ -1094,7 +1656,11 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
     base_r = (32 * g1rc)[:, fc] - Qs[None, :] - WQ - 16
     D = jnp.where(S, base_r, base_f) + t_el
     cnt1_f = cnt1[:, fc]
-    A = (cnt_best >= V3_TBAND) & (cnt1_f >= V3_SMIN)
+    # Election thresholds scale down on partial tail blocks (fewer than
+    # FINE valid query positions can never reach the full-block bound).
+    vq = jnp.sum(qok.astype(jnp.int32), axis=-1)
+    tband_b = jnp.minimum(tband, jnp.maximum(4, (vq * tband) // FINE))
+    A = (cnt_best >= tband_b) & (cnt1_f >= smin)
     if _ABLATE == 'elect':
         s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(cnt_best, -1)
         return jnp.stack([s, s, s], axis=-1)
@@ -1146,14 +1712,15 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
 
 
 def _group_run_v3_body(rocc, roww_f, roww_r, qv, r_rows, rlens, q_rows,
-                       qlens, *, Lq, Lr, K, mqd, mrd, reg,
+                       qlens, thresholds, *, Lq, Lr, K, mqd, mrd, reg,
                        with_alns=False):
     core = partial(_row_core_v3, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
                    reg=reg, with_alns=with_alns)
 
     def row(rr, rl, qr, ql):
         return core(rocc[rr], roww_f[rr], roww_r[rr], rl,
-                    qv['fwd'][qr], qv['qocc'][qr], ql)
+                    qv['fwd'][qr], qv['qocc'][qr], ql,
+                    thresholds[0], thresholds[1])
 
     return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
 
@@ -1174,11 +1741,23 @@ def _make_sharded_group_run_v3(mesh, Lq, Lr, K, mqd, mrd, reg,
     body = partial(_group_run_v3_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd,
                    mrd=mrd, reg=reg, with_alns=with_alns)
     rep = (P(), P(), P(), {'fwd': P(), 'qocc': P()})
-    sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
+    sharded = (P(axis), P(axis), P(axis, None), P(axis, None), P(None))
     out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
         else P(axis, None, None)
     return jax.jit(shard_map(
         body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
+
+
+def _batch_rows_v3(L: int, K: int) -> int:
+    """v3 dispatch rows per chunk: bound the stage-1 score intermediate
+    (K * NQB * NRB int32 per row — the fattest array) plus the band
+    count/window arrays to ~768 MB so HBM stays comfortable, capped at
+    256 rows (small buckets benefit from fatter dispatches: fewer
+    tunnel round-trips)."""
+    g3 = _v3_geom(L, L)
+    per_row = (K * g3['NQB'] * g3['NRB'] * 4
+               + 3 * K * (L // FINE) * (g3['BAND'] + g3['WIN']))
+    return max(1, min(256, (768 << 20) // per_row))
 
 
 def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
@@ -1221,6 +1800,16 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     joiners), a <0.1% bias on the classification threshold only."""
     idx = index or GenomeIndexTPU(codes_list)
     pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+    pipe = _os_tune.environ.get('VCLUST_ALIGN_PIPE', 'v3')
+    if pipe not in ('v2', 'v3'):
+        raise ValueError(f'VCLUST_ALIGN_PIPE={pipe!r}: expected v2 or v3')
+    if seeds_per_block is not None:
+        pipe = 'v2'      # explicit sampling density = v2 tuning path
+    if pipe == 'v3':
+        # v3 always runs at full seed density — no sampling screen needed;
+        # buckets beyond V3_MAX_BUCKET fall back to v2 per group inside.
+        return _all2all_single(codes_list, pairs, params, idx, mesh,
+                               keep_alignments, SEEDS_PER_BLOCK, pipe='v3')
     single = (seeds_per_block is not None or keep_alignments
               or len(pairs) == 0
               or _os_tune.environ.get('VCLUST_ALIGN_TWO_PHASE') == '0')
@@ -1257,7 +1846,7 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                     params: Optional[AlignParams],
                     index: GenomeIndexTPU,
                     mesh, keep_alignments: bool,
-                    seeds_per_block: int):
+                    seeds_per_block: int, pipe: str = 'v2'):
     """All-vs-all aggregates on TPU for unordered candidate `pairs` over
     ids-ordered genomes. Returns int64 array (len(pairs), 6) with columns
     (n_ji, match_ji, alnlen_ji, n_ij, match_ij, alnlen_ij), the same layout
@@ -1306,7 +1895,8 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         for ts in by_ref.values():
             gids.update(qi for (qi, _p, _c) in ts)
         _t0 = _time.time()
-        b = idx.ensure(kb, gids, C)
+        use_v3 = pipe == 'v3' and kb <= V3_MAX_BUCKET
+        b = idx.ensure_v3(kb, gids) if use_v3 else idx.ensure(kb, gids, C)
         if _timing:
             print(f'[timing] ensure({kb}, {len(gids)}): '
                   f'{_time.time() - _t0:.1f}s', flush=True)
@@ -1319,7 +1909,7 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             ts = by_ref[ri]
             for lo in range(0, len(ts), K):
                 rows.append((ri, ts[lo:lo + K]))
-        B = _batch_rows(kb, kb, K, C)
+        B = _batch_rows_v3(kb, K) if use_v3 else _batch_rows(kb, kb, K, C)
         if mesh is not None:
             B = max(B // n_dev, 1) * n_dev
         n_disp = -(-len(rows) // B)
@@ -1333,31 +1923,47 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             for t_i, (qi, _prow, _col) in enumerate(ts):
                 q_rows[w, t_i] = b['rows'][qi]
                 qlens[w, t_i] = lens[qi]
-        arena = (b['sv_f'], b['pk1_f'], b['pk2_f'], b['sv_r'],
-                 b['pk1_r'], b['pk2_r'], b['r2dov'],
-                 {'fwd': b['fwd'], 'qsv': b['qsv'], 'qoff': b['qoff']})
-        static = dict(Lq=kb, Lr=kb, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                      pack_bits=b['pack_bits'], C=C,
-                      with_alns=keep_alignments)
+        if use_v3:
+            arena = (b['rocc'], b['roww_f'], b['roww_r'],
+                     {'fwd': b['fwd'], 'qocc': b['qocc']})
+            static = dict(Lq=kb, Lr=kb, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                          with_alns=keep_alignments)
+        else:
+            arena = (b['sv_f'], b['pk1_f'], b['pk2_f'], b['sv_r'],
+                     b['pk1_r'], b['pk2_r'], b['r2dov'],
+                     {'fwd': b['fwd'], 'qsv': b['qsv'], 'qoff': b['qoff']})
+            static = dict(Lq=kb, Lr=kb, K=K, mqd=mqd, mrd=mrd, reg=reg,
+                          pack_bits=b['pack_bits'], C=C,
+                          with_alns=keep_alignments)
         if mesh is not None:
             from ..parallel.distributed import replicate, shard_rows
-            run = _make_sharded_group_run(mesh, **static)
+            run = (_make_sharded_group_run_v3 if use_v3
+                   else _make_sharded_group_run)(mesh, **static)
             arena = tuple(
                 {k2: replicate(mesh, v) for k2, v in a.items()}
                 if isinstance(a, dict) else replicate(mesh, a)
                 for a in arena)
             place = partial(shard_rows, mesh)
         else:
-            run = partial(_group_run, **static)
+            run = partial(_group_run_v3 if use_v3 else _group_run, **static)
             place = jnp.asarray
         results = []
-        with _x64(b['pack_bits']):
+        if use_v3:
+            thr = np.array([V3_TBAND, V3_SMIN], np.int32)
+            if mesh is not None:
+                from ..parallel.distributed import replicate
+                extra = (replicate(mesh, thr),)
+            else:
+                extra = (jnp.asarray(thr),)
+        else:
+            extra = ()
+        with _x64(b.get('pack_bits', 32)):
             for d in range(n_disp):
                 _t0 = _time.time()
                 lo, hi = d * B, (d + 1) * B
                 results.append(run(
                     *arena, place(r_rows[lo:hi]), place(rlens[lo:hi]),
-                    place(q_rows[lo:hi]), place(qlens[lo:hi])))
+                    place(q_rows[lo:hi]), place(qlens[lo:hi]), *extra))
                 if _timing:
                     results[-1][0].block_until_ready() if keep_alignments \
                         else results[-1].block_until_ready()

@@ -151,8 +151,14 @@ def bench_scaling():
                           'tools', 'scaling_bench.py')],
             capture_output=True, text=True, timeout=900)
         lines = [l for l in r.stdout.splitlines() if l.startswith('{')]
-        return ({'scaling': _json.loads(lines[-1])} if lines
-                else {'scaling_error': r.stderr[-200:]})
+        if not lines:
+            return {'scaling_error': r.stderr[-200:]}
+        return {'virtual_cpu_mesh_scaling': dict(
+            note=('8 VIRTUAL devices on a 2-core CPU host: validates the '
+                  'sharded path distributes work, NOT real scaling '
+                  'efficiency; the >=80% multi-host ICI target is '
+                  'unmeasurable on this single-chip box'),
+            **_json.loads(lines[-1]))}
     except Exception as exc:   # pragma: no cover - diagnostics only
         return {'scaling_error': str(exc)[:200]}
 
@@ -215,6 +221,15 @@ def main():
                        n_pairs / (t_build + dt), 1),
                    'pattern_dedup_ratio': round(index.dedup_ratio, 2),
                    'device_counts_validated': True,
+                   # BASELINE.md's 1M pairs/s north star names the
+                   # LZ-ANI STAGE, not the prefilter: state that ratio
+                   # explicitly so the headline vs_baseline (prefilter)
+                   # cannot be misread as the align-stage target.
+                   'align_vs_baseline': round(
+                       tpu_align['tpu_align_pairs_per_s'] / 1e6, 4),
+                   'align_contig_vs_baseline': round(
+                       contig_align['tpu_align_contig_pairs_per_s'] / 1e6,
+                       4),
                    **tpu_align, **contig_align, **native_align,
                    **native_contig, **scaling},
     }))

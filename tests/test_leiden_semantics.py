@@ -125,3 +125,52 @@ def test_weighted_barbell_respects_weak_bridge():
     assert len(set(labels[:size])) == 1 and len(set(labels[size:])) == 1
     merged = leiden(2 * size, edges, weights, resolution=1e-5)
     assert len(set(merged)) == 1
+
+
+def test_leiden_matches_igraph_on_planted_partitions():
+    """Cross-validation against igraph community_leiden at the reference's
+    parameters (clusty builds igraph with LEIDEN=true, reference
+    vclust.py:549-569: CPM objective, resolution 0.7, beta 0.01,
+    2 iterations). igraph is not installable in this environment (no
+    egress), so the test skips here and runs wherever igraph exists —
+    on >= 5 planted-partition graphs both implementations must recover
+    the planted communities exactly, hence agree with each other."""
+    ig = pytest.importorskip('igraph')
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        k = int(rng.integers(3, 6))
+        sizes = rng.integers(5, 12, k)
+        n = int(sizes.sum())
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        planted = np.concatenate([np.full(s, c) for c, s in
+                                  enumerate(sizes)])
+        edges, weights = [], []
+        for c in range(k):
+            lo, hi = starts[c], starts[c + 1]
+            for i in range(lo, hi):
+                for j in range(i + 1, hi):
+                    edges.append((i, j))
+                    weights.append(float(rng.uniform(0.96, 1.0)))
+        # sparse weak inter-community edges below the CPM threshold
+        for _ in range(n // 2):
+            a, b = rng.integers(0, n, 2)
+            if planted[a] != planted[b]:
+                edges.append((int(min(a, b)), int(max(a, b))))
+                weights.append(float(rng.uniform(0.0, 0.2)))
+        edges = np.array(edges)
+        weights = np.array(weights)
+        mine = np.asarray(leiden(n, edges, weights, resolution=0.7,
+                                 beta=0.01, iterations=2))
+        g = ig.Graph(n=n, edges=[tuple(e) for e in edges])
+        theirs = np.asarray(g.community_leiden(
+            objective_function='CPM', weights=list(weights),
+            resolution=0.7, beta=0.01, n_iterations=2).membership)
+
+        def canon(lab):
+            seen, out = {}, []
+            for x in lab:
+                out.append(seen.setdefault(x, len(seen)))
+            return out
+
+        assert canon(mine) == canon(planted)
+        assert canon(theirs) == canon(planted)

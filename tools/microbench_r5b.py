@@ -1,0 +1,107 @@
+"""v3 stage-1 matmul utilization hunt.
+
+The ablation (tools/v3_bench.py + VCLUST_ALIGN_ABLATE=join) shows the
+occupancy matmul + argmax at ~10 TFLOPs effective on v5e (5% of peak).
+Candidates: int8->bf16 operand conversion in the loop, the (M<<13)|inv
+int32 epilogue materializing 340 MB per dispatch, vmap batching shape.
+Cases measure one dispatch-equivalent: B=18 rows, K=8, NQB=384,
+NRB=1536, H=2048 (the 49152 bucket).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vclust_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+from mblib import timed
+
+B, K, NQB, NRB, H = 18, 8, 384, 1536, 2048
+FLOPS = 2 * B * K * NQB * NRB * H
+
+rng = np.random.default_rng(0)
+q8 = jnp.asarray((rng.random((B, K, NQB, H)) < 0.06).astype(np.int8))
+r8 = jnp.asarray((rng.random((B, NRB, H)) < 0.06).astype(np.int8))
+qb = q8.astype(jnp.bfloat16)
+rb = r8.astype(jnp.bfloat16)
+
+
+def report(name, fn, *args):
+    dt = timed(name, fn, *args, elems=1)
+    print(f'    -> {FLOPS/dt/1e12:.1f} TFLOPs eff', flush=True)
+
+
+def main():
+    def mm_int8_cast(i, q, r):
+        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+                       r.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jnp.max(M, axis=-1)
+    report('einsum int8->bf16 cast + f32 max', mm_int8_cast, q8, r8)
+
+    def mm_bf16(i, q, r):
+        M = jnp.einsum('bkqh,brh->bkqr', q + 0 * i.astype(jnp.bfloat16), r,
+                       preferred_element_type=jnp.float32)
+        return jnp.max(M, axis=-1)
+    report('einsum bf16 stored + f32 max', mm_bf16, qb, rb)
+
+    def mm_int8_native(i, q, r):
+        M = jax.lax.dot_general(
+            q + (0 * i).astype(jnp.int8), r,
+            (((3,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        return jnp.max(M, axis=-1)
+    report('dot_general int8 s32 native + max', mm_int8_native, q8, r8)
+
+    def mm_full_epilogue(i, q, r):
+        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+                       r.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
+        packed = (M << 13) | r_inv
+        best = jnp.max(packed, axis=-1)
+        near = jnp.abs(jnp.arange(NRB, dtype=jnp.int32)[None, None, None, :]
+                       - (8191 - (best & 8191))[..., None]) <= 4
+        best2 = jnp.max(jnp.where(near, -1, packed), axis=-1)
+        return best + best2
+    report('current: int32 pack + top2 epilogue', mm_full_epilogue, q8, r8)
+
+    def mm_f32_pack(i, q, r):
+        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+                       r.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        r_inv = (jnp.float32(8191) - jnp.arange(NRB, dtype=jnp.float32)) \
+            / jnp.float32(8192)
+        packed = M + r_inv                      # f32 pack: cnt + frac(r)
+        best = jnp.max(packed, axis=-1)
+        g1 = (jnp.float32(8191.5) - best % 1 * 8192).astype(jnp.int32)
+        near = jnp.abs(jnp.arange(NRB, dtype=jnp.int32)[None, None, None, :]
+                       - g1[..., None]) <= 4
+        best2 = jnp.max(jnp.where(near, -jnp.inf, packed), axis=-1)
+        return best + best2
+    report('f32 pack + top2 epilogue', mm_f32_pack, q8, r8)
+
+    # chunked-NRB epilogue: avoid materializing full M in int32
+    def mm_chunk(i, q, r):
+        CH = 256
+        best = None
+        qc = q.astype(jnp.bfloat16) + 0 * i
+        for lo in range(0, NRB, CH):
+            Mc = jnp.einsum('bkqh,brh->bkqr', qc,
+                            r[:, lo:lo + CH].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            pc = (Mc.astype(jnp.int32) << 13) \
+                | (jnp.int32(8191) - (lo + jnp.arange(CH, dtype=jnp.int32)))
+            mc = jnp.max(pc, axis=-1)
+            best = mc if best is None else jnp.maximum(best, mc)
+        return best
+    report('NRB-chunked matmul+pack (256)', mm_chunk, q8, r8)
+
+
+if __name__ == '__main__':
+    main()

@@ -863,12 +863,16 @@ class GenomeIndexTPU:
         self.oversized = {i for i, c in enumerate(self.codes)
                           if len(c) > MAX_TPU_LEN}
 
-    def ensure(self, Lp: int, gids, C: int = None) -> dict:
+    def ensure(self, Lp: int, gids, C: int = None, cache: bool = True) \
+            -> dict:
         """Arrays for bucket Lp covering at least genomes `gids`, sampled
-        at C seeds per fine block (default SEEDS_PER_BLOCK)."""
+        at C seeds per fine block (default SEEDS_PER_BLOCK). With
+        cache=False, builds a DISPOSABLE sub-arena holding exactly `gids`
+        (the VCLUST_ALIGN_MAX_ARENA bounded-HBM path) that is neither
+        stored nor merged with the cached arena."""
         from ..core.seq import revcomp_codes
         C = SEEDS_PER_BLOCK if C is None else C
-        cur = self.bucket.get((Lp, C))
+        cur = self.bucket.get((Lp, C)) if cache else None
         need = set(int(g) for g in gids)
         if cur is not None and need <= cur['rows'].keys():
             return cur
@@ -896,16 +900,18 @@ class GenomeIndexTPU:
         d = dict(fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
                  pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
                  r2dov=r2dov, pack_bits=pack_bits, rows=rows)
-        self.bucket[(Lp, C)] = d
+        if cache:
+            self.bucket[(Lp, C)] = d
         return d
 
-    def ensure_v3(self, Lp: int, gids) -> dict:
+    def ensure_v3(self, Lp: int, gids, cache: bool = True) -> dict:
         """v3 arrays for bucket Lp covering at least genomes `gids`:
         canonical occupancy matrices + wide window rows (no sampling
-        knob — the matmul always runs at full seed density)."""
+        knob — the matmul always runs at full seed density). cache=False
+        builds a disposable exact-member sub-arena (bounded-HBM path)."""
         from ..core.seq import revcomp_codes
         key = (Lp, 'v3')
-        cur = self.bucket.get(key)
+        cur = self.bucket.get(key) if cache else None
         need = set(int(g) for g in gids)
         if cur is not None and need <= cur['rows'].keys():
             return cur
@@ -930,7 +936,8 @@ class GenomeIndexTPU:
             for xs in zip(*parts))
         d = dict(fwd=fwd_d, qocc=qocc, rocc=rocc, roww_f=roww_f,
                  roww_r=roww_r, rows=rows)
-        self.bucket[key] = d
+        if cache:
+            self.bucket[key] = d
         return d
 
 
@@ -994,6 +1001,14 @@ V3_TBAND = _env_num('VCLUST_ALIGN_V3_TBAND', 17, 1, 32)
 #                    elect — the aw/am density bound (>= 53%), same
 #                    constant as EXT_MIN.
 V3_MAX_BUCKET = _env_num('VCLUST_ALIGN_V3_MAXB', 131072, 4096, 1 << 20)
+MAX_ARENA = _env_num('VCLUST_ALIGN_MAX_ARENA', 0, 0, 1 << 30)
+#                    bound on genomes resident per bucket arena (0 = no
+#                    bound). When a group's genome set exceeds it, the
+#                    group splits into sub-groups processed on DISPOSABLE
+#                    exact-member sub-arenas, bounding device HBM by
+#                    ~MAX_ARENA x per-genome index bytes instead of the
+#                    whole bucket population (the million-genome mesh
+#                    configs of BASELINE.json; README known-limitations).
 
 
 def _v3_geom(Lq, Lr):
@@ -1230,485 +1245,11 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
     return _blocks_to_measures(
         m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen, K=K, Lq=Lq,
         mqd=mqd, mrd=mrd, reg=reg, with_alns=with_alns, debug=debug,
-        debug_extra=dict(vb=vb, votes=votes) if debug else None)
-
-
-def _group_run_body(sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov, qv,
-                    r_rows, rlens, q_rows, qlens,
-                    *, Lq, Lr, K, mqd, mrd, reg, pack_bits, C=None,
-                    with_alns=False):
-    """One device program for a chunk of dispatch rows: vmap over B rows,
-    each row = one reference x K queries. r_rows/rlens: (B,), q_rows/qlens:
-    (B, K). Returns (B, K, 3), plus (B, K, MAXSEG, 6) when with_alns."""
-    core = partial(_row_core, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd, reg=reg,
-                   pack_bits=pack_bits, C=C, with_alns=with_alns)
-
-    def row(rr, rl, qr, ql):
-        return core(sv_f[rr], pk1_f[rr], pk2_f[rr], sv_r[rr], pk1_r[rr],
-                    pk2_r[rr], r2dov[rr], rl, qv['fwd'][qr], qv['qsv'][qr],
-                    qv['qoff'][qr], ql)
-
-    return jax.vmap(row)(r_rows, rlens, q_rows, qlens)
-
-
-_group_run = jax.jit(_group_run_body, static_argnames=(
-    'Lq', 'Lr', 'K', 'mqd', 'mrd', 'reg', 'pack_bits', 'C', 'with_alns'))
-
-
-@lru_cache(maxsize=128)
-def _make_sharded_group_run(mesh, Lq, Lr, K, mqd, mrd, reg, pack_bits,
-                            C=None, with_alns=False):
-    """Pair-grid data parallelism over the mesh: the row axis of one
-    bucket-combination group is sharded across devices; the genome arena
-    is replicated (the sketch-allgather design of SURVEY.md section 7 —
-    pair tiles ride ICI-free, each device runs its row slice)."""
-    from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
-
-    axis = mesh.axis_names[0]
-    body = partial(_group_run_body, Lq=Lq, Lr=Lr, K=K, mqd=mqd, mrd=mrd,
-                   reg=reg, pack_bits=pack_bits, C=C, with_alns=with_alns)
-    rep = (P(),) * 7 + ({'fwd': P(), 'qsv': P(), 'qoff': P()},)
-    sharded = (P(axis), P(axis), P(axis, None), P(axis, None))
-    out = (P(axis, None, None), P(axis, None, None, None)) if with_alns \
-        else P(axis, None, None)
-    return jax.jit(shard_map(
-        body, mesh=mesh, in_specs=rep + sharded, out_specs=out))
-
-
-@partial(jax.jit, static_argnames=('k', 'pack_bits', 'C'))
-def _index_block(fwd, rc, k: int, pack_bits: int, C: int = None):
-    """Per-genome device index build for one bucket chunk: stratified
-    sampled query seeds (top-C per fine block by value hash) plus, per
-    strand, value-sorted packed candidate arrays over the same sampling
-    and the overlapped eval window rows. Sampling by VALUE keeps the two
-    join sides consistent: a matching seed is kept or dropped on both
-    sides together (ties inside a block resolve by position via the
-    stable sort, so the selection is deterministic)."""
-    G, Lp = fwd.shape
-    C = SEEDS_PER_BLOCK if C is None else C
-    NBF = Lp // FINE
-    NQ = NBF * C
-    kv = jax.vmap(partial(kmer_vals, k=k))
-    qv_f = kv(fwd)
-    qv_r = kv(rc)
-
-    def select(qv_s):
-        """Top-C seeds per fine block by value hash: (vals, offs) with
-        vals = -1 where the block has fewer than C valid seeds."""
-        v = qv_s.reshape(G, NBF, FINE)
-        h = ((v.astype(jnp.uint32) * jnp.uint32(2654435761))
-             >> 16).astype(jnp.int32)
-        h = jnp.where(v < 0, BIG, h)
-        off0 = jnp.broadcast_to(jnp.arange(FINE, dtype=jnp.int32), v.shape)
-        hs, offs, vals = jax.lax.sort((h, off0, v), num_keys=1, dimension=2)
-        sel_valid = hs[:, :, :C].reshape(G, NQ) < BIG
-        sel_v = jnp.where(sel_valid, vals[:, :, :C].reshape(G, NQ), -1)
-        return sel_v, offs[:, :, :C].reshape(G, NQ)
-
-    qsv, qoff = select(qv_f)
-
-    def strand(qv_s):
-        sel_v, sel_off = select(qv_s)
-        pos = ((jnp.arange(NQ, dtype=jnp.int32) // C) * FINE)[None, :] \
-            + sel_off
-        vs = jnp.where(sel_v < 0, BIG, sel_v)
-        sv, spos = jax.lax.sort((vs, pos), num_keys=1, dimension=1)
-        prev_same = jnp.concatenate(
-            [jnp.zeros((G, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
-        spred = jnp.where(prev_same, _sh_r(spos, 1, jnp.int32(0)), -1)
-        valid = sv < BIG
-        if pack_bits == 32:
-            # pos+1 keeps 0 as the unambiguous no-candidate sentinel (a
-            # value-0 seed at position 0 would otherwise pack to 0); valid
-            # seeds end >= k before the bucket edge so pos+1 < 2**16.
-            pk1 = jnp.where(valid, (sv.astype(jnp.uint32) << 16)
-                            | (spos.astype(jnp.uint32) + 1), 0)
-            pk2 = jnp.where(valid & (spred >= 0),
-                            (sv.astype(jnp.uint32) << 16)
-                            | (spred.astype(jnp.uint32) + 1), 0)
-            return sv, pk1, pk2
-        # int64 triple pack: value<<40 | (pos+1)<<20 | (pred+1); the +1
-        # reserves 0 as the no-candidate sentinel inside each field, and
-        # the 20-bit position fields hold pos+1 up to 2**20 (MAX_TPU_LEN;
-        # longer genomes are rejected at index build).
-        p64 = (sv.astype(jnp.int64) << 40) \
-            | ((spos.astype(jnp.int64) + 1) << 20) \
-            | jnp.where(spred >= 0, spred.astype(jnp.int64) + 1, 0)
-        pk1 = jnp.where(valid, p64, 0)
-        return sv, pk1, pk1
-
-    sv_f, pk1_f, pk2_f = strand(qv_f)
-    sv_r, pk1_r, pk2_r = strand(qv_r)
-
-    # Overlapped 64-wide window rows per 32 positions (both strands
-    # stacked), with one all-pad lead row per strand so slightly-negative
-    # window starts read never-matching pad bases instead of wrapping.
-    pad = jnp.full((G, FINE), 4, jnp.int8)
-    lead = jnp.full((G, 1, 2 * FINE), 4, jnp.int8)
-
-    def rows(codes):
-        a = jnp.concatenate([codes, pad], axis=1).reshape(G, -1, FINE)
-        ov = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=-1)
-        return jnp.concatenate([lead, ov], axis=1)
-
-    r2dov = jnp.concatenate([rows(fwd), rows(rc)], axis=1)
-    return qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov
-
-
-class GenomeIndexTPU:
-    """Device-resident per-bucket genome arena: padded codes, sampled
-    query seed arrays and per-strand value-sorted packed candidate arrays
-    + overlapped window rows (reference role). Buckets build LAZILY:
-    all2all_tpu pads every pair to its max bucket (round 4), so only the
-    diagonal (B, B) bucket programs compile — half the round-3 program
-    count — and a genome is indexed at exactly the bucket sizes its pairs
-    need. Each (bucket, genome-set) build is cached on the index."""
-
-    def __init__(self, codes_list: Sequence[np.ndarray], k: int = SEED_K,
-                 rows_chunk: int = 512):
-        self.k = k
-        self.rows_chunk = rows_chunk
-        self.codes = [np.asarray(c, dtype=np.int8) for c in codes_list]
-        self.lens = np.array([len(c) for c in self.codes], dtype=np.int32)
-        self.bucket = {}   # Lp -> dict of stacked device arrays + row map
-        # Genomes beyond the seed-pack position range are not indexed;
-        # all2all_tpu rejects pairs touching them (models/align.py routes
-        # such pairs to the exact native engine instead).
-        self.oversized = {i for i, c in enumerate(self.codes)
-                          if len(c) > MAX_TPU_LEN}
-
-    def ensure(self, Lp: int, gids, C: int = None) -> dict:
-        """Arrays for bucket Lp covering at least genomes `gids`, sampled
-        at C seeds per fine block (default SEEDS_PER_BLOCK)."""
-        from ..core.seq import revcomp_codes
-        C = SEEDS_PER_BLOCK if C is None else C
-        cur = self.bucket.get((Lp, C))
-        need = set(int(g) for g in gids)
-        if cur is not None and need <= cur['rows'].keys():
-            return cur
-        members = sorted(need | (set(cur['rows']) if cur else set()))
-        G = len(members)
-        pack_bits = 32 if Lp <= 65536 else 64
-        fwd = np.full((G, Lp), 4, dtype=np.int8)
-        rc = np.full((G, Lp), 4, dtype=np.int8)
-        rows = {}
-        for row, i in enumerate(members):
-            fwd[row, :self.lens[i]] = self.codes[i]
-            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
-            rows[i] = row
-        fwd_d = jnp.asarray(fwd)
-        rc_d = jnp.asarray(rc)
-        parts = []
-        with _x64(pack_bits):
-            for lo in range(0, G, self.rows_chunk):
-                parts.append(_index_block(fwd_d[lo:lo + self.rows_chunk],
-                                          rc_d[lo:lo + self.rows_chunk],
-                                          self.k, pack_bits, C))
-        qsv, qoff, sv_f, pk1_f, pk2_f, sv_r, pk1_r, pk2_r, r2dov = (
-            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
-            for xs in zip(*parts))
-        d = dict(fwd=fwd_d, qsv=qsv, qoff=qoff, sv_f=sv_f, pk1_f=pk1_f,
-                 pk2_f=pk2_f, sv_r=sv_r, pk1_r=pk1_r, pk2_r=pk2_r,
-                 r2dov=r2dov, pack_bits=pack_bits, rows=rows)
-        self.bucket[(Lp, C)] = d
-        return d
-
-    def ensure_v3(self, Lp: int, gids) -> dict:
-        """v3 arrays for bucket Lp covering at least genomes `gids`:
-        canonical occupancy matrices + wide window rows (no sampling
-        knob — the matmul always runs at full seed density)."""
-        from ..core.seq import revcomp_codes
-        key = (Lp, 'v3')
-        cur = self.bucket.get(key)
-        need = set(int(g) for g in gids)
-        if cur is not None and need <= cur['rows'].keys():
-            return cur
-        members = sorted(need | (set(cur['rows']) if cur else set()))
-        G = len(members)
-        fwd = np.full((G, Lp), 4, dtype=np.int8)
-        rc = np.full((G, Lp), 4, dtype=np.int8)
-        rows = {}
-        for row, i in enumerate(members):
-            fwd[row, :self.lens[i]] = self.codes[i]
-            rc[row, :self.lens[i]] = revcomp_codes(self.codes[i])
-            rows[i] = row
-        fwd_d = jnp.asarray(fwd)
-        rc_d = jnp.asarray(rc)
-        parts = []
-        for lo in range(0, G, self.rows_chunk):
-            parts.append(_index_block_v3(fwd_d[lo:lo + self.rows_chunk],
-                                         rc_d[lo:lo + self.rows_chunk],
-                                         self.k, Lp))
-        qocc, rocc, roww_f, roww_r = (
-            jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
-            for xs in zip(*parts))
-        d = dict(fwd=fwd_d, qocc=qocc, rocc=rocc, roww_f=roww_f,
-                 roww_r=roww_r, rows=rows)
-        self.bucket[key] = d
-        return d
-
-
-# ==========================================================================
-# v3 front end: MXU occupancy-matmul candidate generation + banded eval
-# ==========================================================================
-# Round-5 redesign of stages 1-2b driven by tools/microbench_r5.py: on v5e
-# every content-addressed XLA primitive costs O(ns) per element (sort 1.9
-# ns/elem, gathers 6.7 ns/row regardless of width, scatter 4.7) so the
-# ~30k seed lookups per directed pair floor the v2 sort join at ~300 us
-# and the vote-election small-row sorts at another ~150 us. The only
-# units with headroom are the MXU and fused VPU elementwise chains, so v3
-# replaces the join+election with:
-#
-#   1. **Canonical-k-mer occupancy matmul (MXU).** Per genome, a 0/1
-#      occupancy matrix over V3_H hashed buckets of canonical 8-mers
-#      (min(v, revcomp(v)) — strand-invariant, so ONE matrix serves both
-#      strands and one matmul scores both orientations at once): query
-#      blocks of V3_WQ positions x reference blocks of 32. M = Qocc @
-#      Rocc^T gives shared-seed counts for every (query-block, ref-block)
-#      combination; the argmax per query block is the coarse candidate
-#      region. ~2.1 GFLOP bf16 per directed pair at the 64 kb bucket —
-#      full seed density (no sampling) for less than the cost the v2 join
-#      paid for 1/2 density.
-#   2. **Banded base-level eval (fused VPU).** Around each coarse
-#      candidate, all V3_BAND diagonal shifts are evaluated on the bases
-#      directly: one wide window row-gather per coarse block (the only
-#      gather), then an unrolled 32-step shift-compare-accumulate that
-#      XLA fuses into a single pass. This replaces the fine/coarse vote
-#      election sorts AND the eval/propagation re-evals of v2: the per-
-#      fine-block elected diagonal is the band argmax, neighbor
-#      propagation reads counts straight out of the band, and the final
-#      match flags are a where-tree select from the same windows.
-#   3. The shared back half (_blocks_to_measures) is unchanged.
-#
-# The mirror trick for the reverse strand: a canonical match at ref block
-# g can be forward or reverse; the reverse candidate window is the mirror
-# of [32g, 32g+32) in the rc string (true position rlen-32g-32, floored
-# to the 32-grid; the band's +-slack absorbs the floor). Both strands'
-# bands are evaluated and the per-fine-block winner takes all, with ties
-# preferring the forward strand like v2's smallest-code rule.
-#
-# Large buckets route back to v2: the matmul is quadratic in bucket size
-# (fine through V3_MAX_BUCKET, the v2 sort join scales better beyond).
-
-V3_H = _env_num('VCLUST_ALIGN_V3_H', 2048, 256, 16384)
-#                    hashed canonical-seed buckets of the occupancy
-#                    matrices. SNR argument: a 128-wide query block holds
-#                    ~120 seeds, a 32-wide ref block ~28, so collision
-#                    noise per cell is ~120*28/2048 = 1.6 +- 1.3 while
-#                    true blocks at 75% identity share ~12 seeds.
-V3_WQ = _env_num('VCLUST_ALIGN_V3_WQ', 128, 64, 512)
-#                    stage-1 query block width (multiple of 32; all
-#                    length buckets divide by 128). Wider = cheaper
-#                    matmul + better SNR but a wider eval band.
-V3_SMIN = _env_num('VCLUST_ALIGN_V3_SMIN', 5, 1, 512)
-#                    stage-1 shared-seed count a coarse candidate needs
-#                    before its fine blocks may elect (junk guard).
-V3_TBAND = _env_num('VCLUST_ALIGN_V3_TBAND', 17, 1, 32)
-#                    base matches (of FINE) the band winner needs to
-#                    elect — the aw/am density bound (>= 53%), same
-#                    constant as EXT_MIN.
-V3_MAX_BUCKET = _env_num('VCLUST_ALIGN_V3_MAXB', 131072, 4096, 1 << 20)
-
-
-def _v3_geom(Lq, Lr):
-    WQ = V3_WQ
-    BAND = WQ + 96          # diagonal shifts evaluated per fine block
-    WIN = BAND + FINE       # per-fine-block window width
-    ROWW = -(-(WQ - 16 + WIN) // 32) * 32   # wide window row width
-    return dict(WQ=WQ, BAND=BAND, WIN=WIN, ROWW=ROWW,
-                NQB=Lq // WQ, NRB=Lr // FINE, FPB=WQ // FINE)
-
-
-def _canon_hash(vals):
-    """Hash bucket of the canonical 8-mer for packed values (int32, -1 =
-    invalid): min(v, revcomp(v)) through a Knuth multiplicative hash.
-    Returns -1 for invalid positions (dropped by scatter)."""
-    rc = jnp.zeros_like(vals)
-    t = vals
-    for _ in range(SEED_K):
-        rc = (rc << 2) | ((t & 3) ^ 3)
-        t = t >> 2
-    vc = jnp.minimum(vals, rc).astype(jnp.uint32)
-    shift = 32 - int(np.log2(V3_H))
-    h = (vc * jnp.uint32(2654435761)) >> shift
-    return jnp.where(vals >= 0, h.astype(jnp.int32), -1)
-
-
-@partial(jax.jit, static_argnames=('k', 'Lp'))
-def _index_block_v3(fwd, rc, k: int, Lp: int):
-    """Per-genome v3 device index for one bucket chunk: canonical
-    occupancy matrices (query blocks of WQ / ref blocks of FINE) and the
-    wide window rows both strands. fwd/rc: (G, Lp) int8 codes."""
-    g3 = _v3_geom(Lp, Lp)
-    WQ, NQB, NRB, ROWW = g3['WQ'], g3['NQB'], g3['NRB'], g3['ROWW']
-    G = fwd.shape[0]
-    vals = jax.vmap(partial(kmer_vals, k=k))(fwd)
-    h = _canon_hash(vals)                          # (G, Lp)
-    gi = jnp.arange(G, dtype=jnp.int32)[:, None]
-    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
-    one = jnp.ones((G, Lp), jnp.int8)
-    qocc = jnp.zeros((G, NQB, V3_H), jnp.int8).at[
-        gi, pos // WQ, h].max(one, mode='drop')
-    rocc = jnp.zeros((G, NRB, V3_H), jnp.int8).at[
-        gi, pos // FINE, h].max(one, mode='drop')
-
-    def rows(codes):
-        lead = jnp.full((G, WQ + 32), 4, jnp.int8)
-        tail = jnp.full((G, ROWW), 4, jnp.int8)
-        P = jnp.concatenate([lead, codes, tail], axis=1)
-        return jnp.concatenate(
-            [P[:, 32 * j:32 * j + NRB * 32].reshape(G, NRB, 32)
-             for j in range(ROWW // 32)], axis=-1)   # (G, NRB, ROWW)
-
-    return qocc, rocc, rows(fwd), rows(rc)
-
-
-def _tree_slice(w, t, out_width, tmax):
-    """w[..., t:t+out_width] for per-element t in [0, tmax] via a binary
-    where-tree of static slices (no gathers). Requires
-    w.shape[-1] >= tmax + out_width (true for all band selects); w is
-    padded up to the exact budget T2 + out_width - 1 (T2 = next pow2
-    above tmax) so every slice is statically in bounds."""
-    T2 = 1 << int(tmax).bit_length()
-    W0 = T2 + out_width - 1
-    if w.shape[-1] < W0:
-        pad = jnp.zeros(w.shape[:-1] + (W0 - w.shape[-1],), w.dtype)
-        out = jnp.concatenate([w, pad], axis=-1)
-    else:
-        out = w[..., :W0]
-    bit = T2 >> 1
-    while bit:
-        keep = out.shape[-1] - bit
-        out = jnp.where((t & bit > 0)[..., None], out[..., bit:bit + keep],
-                        out[..., :keep])
-        bit >>= 1
-    return out[..., :out_width]
-
-
-def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
-                 tband, smin,
-                 *, Lq, Lr, K, mqd, mrd, reg, ncand=2, with_alns=False,
-                 debug=False):
-    """v3 aggregates for K directed pairs sharing one reference.
-
-    rocc: (NRB, H) int8; roww_f/roww_r: (NRB, ROWW) int8; qocc:
-    (K, NQB, H) int8; q_fwd: (K, Lq) int8; rlen scalar, qlens (K,);
-    tband/smin: TRACED election thresholds (int32 scalars) so threshold
-    tuning re-dispatches without recompiling."""
-    g3 = _v3_geom(Lq, Lr)
-    WQ, BAND, WIN, NQB, NRB, FPB = (g3['WQ'], g3['BAND'], g3['WIN'],
-                                    g3['NQB'], g3['NRB'], g3['FPB'])
-    NBF = Lq // FINE
-
-    # --- 1. stage-1 occupancy matmul + coarse argmax --------------------
-    M = jnp.einsum('kqh,rh->kqr', qocc.astype(jnp.bfloat16),
-                   rocc.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
-    r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
-    best = jnp.max((M << 13) | r_inv, axis=-1)     # count desc, r asc
-    cnt1 = best >> 13                              # (K, NQB)
-    g1 = 8191 - (best & 8191)
-    if _ABLATE == 'join':
-        s = jnp.sum(cnt1, axis=-1) + jnp.sum(g1, axis=-1)
-        return jnp.stack([s, s, s], axis=-1)
-
-    # --- 2. window rows (the only gathers: one wide row per coarse
-    # block per strand) --------------------------------------------------
-    g1rc = jnp.clip((rlen - 32 * g1 - 32) >> 5, 0, NRB - 1)
-    rowf = roww_f[g1]                              # (K, NQB, ROWW)
-    rowr = roww_r[g1rc]
-
-    def fine_windows(row):
-        w = jnp.stack([row[..., u * 32 + 16: u * 32 + 16 + WIN]
-                       for u in range(FPB)], axis=-2)
-        return w.reshape(K, NBF, WIN)
-
-    wf = fine_windows(rowf)
-    wr = fine_windows(rowr)
-    qb = q_fwd.reshape(K, NBF, FINE)
-    qok = qb < 4
-
-    # --- 3. banded base eval: 32-step fused shift-compare-accumulate ----
-    def band_counts(w):
-        acc = None
-        for p in range(FINE):
-            e = ((w[..., p:p + BAND] == qb[..., p:p + 1])
-                 & qok[..., p:p + 1]).astype(jnp.int8)
-            acc = e if acc is None else acc + e
-        return acc                                  # (K, NBF, BAND) int8
-
-    cf = band_counts(wf)
-    cr = band_counts(wr)
-
-    # --- 4. election: band winner across both strands, ties prefer the
-    # forward strand then the smaller shift (v2's smallest-code rule) ----
-    tinv = jnp.int32(511) - jnp.arange(BAND, dtype=jnp.int32)
-    bf = jnp.max((cf.astype(jnp.int32) << 11) | 1024 | tinv, axis=-1)
-    br = jnp.max((cr.astype(jnp.int32) << 11) | tinv, axis=-1)
-    bb = jnp.maximum(bf, br)
-    cnt_best = bb >> 11
-    S = (bb & 1024) == 0                           # True = reverse strand
-    t_el = 511 - (bb & 511)
-    fc = jnp.arange(NBF, dtype=jnp.int32) // FPB   # coarse block of fb
-    Qs = fc * WQ
-    base_f = (32 * g1)[:, fc] - Qs[None, :] - WQ - 16      # (K, NBF)
-    base_r = (32 * g1rc)[:, fc] - Qs[None, :] - WQ - 16
-    D = jnp.where(S, base_r, base_f) + t_el
-    cnt1_f = cnt1[:, fc]
-    # Election thresholds scale down on partial tail blocks (fewer than
-    # FINE valid query positions can never reach the full-block bound).
-    vq = jnp.sum(qok.astype(jnp.int32), axis=-1)
-    tband_b = jnp.minimum(tband, jnp.maximum(4, (vq * tband) // FINE))
-    A = (cnt_best >= tband_b) & (cnt1_f >= smin)
-    if _ABLATE == 'elect':
-        s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(cnt_best, -1)
-        return jnp.stack([s, s, s], axis=-1)
-
-    # --- 5. propagation: neighbors' diagonals read straight out of the
-    # band counts (no re-eval) -------------------------------------------
-    cnt_cur = jnp.where(A, cnt_best, -1)
-    for _ in range(EXT_ITERS):
-        for shf in (_sh_r, _sh_l):
-            Dn = shf(D, 1, jnp.int32(0))
-            Sn = shf(S, 1, False)
-            An = shf(A, 1, False)
-            tn = Dn - jnp.where(Sn, base_r, base_f)
-            inb = An & (tn >= 0) & (tn < BAND)
-            tnc = jnp.clip(tn, 0, BAND - 1)
-            cn_f = _tree_slice(cf, tnc, 1, BAND - 1)[..., 0]
-            cn_r = _tree_slice(cr, tnc, 1, BAND - 1)[..., 0]
-            cn = jnp.where(inb, jnp.where(Sn, cn_r, cn_f), -1)
-            better = (cn >= EXT_MIN) & (cn > cnt_cur + EXT_MARGIN)
-            D = jnp.where(better, Dn, D)
-            S = jnp.where(better, Sn, S)
-            A = A | better
-            cnt_cur = jnp.where(better, cn, cnt_cur)
-
-    # --- 6. final per-position flags from the windows -------------------
-    def flags_at(Sx, Dx, okx):
-        tx = Dx - jnp.where(Sx, base_r, base_f)
-        okx = okx & (tx >= 0) & (tx < BAND)
-        txc = jnp.clip(tx, 0, BAND - 1)
-        wsel = jnp.where(Sx[..., None], wr, wf)
-        seg = _tree_slice(wsel, txc, FINE, BAND - 1)
-        m = (qb == seg) & qok & okx[..., None]
-        return m.reshape(K, Lq)
-
-    m1 = flags_at(S, D, A)
-    Ap = _sh_r(A, 1, False)
-    Sp = _sh_r(S, 1, False)
-    Dp = _sh_r(D, 1, jnp.int32(0))
-    switchable = A & Ap & ((D != Dp) | (S != Sp))
-    m0 = flags_at(Sp, Dp, switchable)
-    if _ABLATE == 'eval':
-        s = jnp.sum(m1.astype(jnp.int32), axis=-1)
-        return jnp.stack([s, s, s], axis=-1)
-    return _blocks_to_measures(
-        m1, m0, switchable, A, S, D, Ap, Sp, Dp, rlen, K=K, Lq=Lq,
-        mqd=mqd, mrd=mrd, reg=reg, with_alns=with_alns, debug=debug,
-        debug_extra=dict(cnt1=cnt1, g1=g1, cnt_best=cnt_best) if debug
-        else None)
+        debug_extra=dict(cnt1=cnt1, g1=g1, cnt_best=cnt_best,
+                         band_best=[jnp.max(b_['cnt'], axis=-1)
+                                    for b_ in bands],
+                         **(dict(g2=g2, cnt2=cnt2) if ncand > 1 else {}))
+        if debug else None)
 
 
 def _group_run_v3_body(rocc, roww_f, roww_r, qv, r_rows, rlens, q_rows,
@@ -1842,6 +1383,40 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     return out
 
 
+def _split_group(by_ref: dict, cap: int) -> list:
+    """Partition one bucket group's {ref: tasks} map into sub-groups whose
+    genome footprint (refs + queries) stays <= cap. Greedy over refs in
+    sorted order; a single ref whose own task list exceeds the cap is
+    split across sub-groups by task chunks."""
+    subs = []
+    cur, cur_g = {}, set()
+    for ri in sorted(by_ref):
+        ts = by_ref[ri]
+        lo = 0
+        while lo < len(ts):
+            room = cap - len(cur_g) - (0 if ri in cur_g else 1)
+            take = [t for t in ts[lo:] ]
+            picked = []
+            for t in take:
+                extra = 0 if t[0] in cur_g or t[0] == ri else 1
+                if room - extra < 0:
+                    break
+                room -= extra
+                picked.append(t)
+                cur_g.add(t[0])
+            if picked:
+                cur_g.add(ri)
+                cur.setdefault(ri, []).extend(picked)
+                lo += len(picked)
+            if lo < len(ts):            # ran out of room: flush
+                if cur:
+                    subs.append(cur)
+                cur, cur_g = {}, set()
+    if cur:
+        subs.append(cur)
+    return subs
+
+
 def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                     params: Optional[AlignParams],
                     index: GenomeIndexTPU,
@@ -1890,13 +1465,25 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     _timing = _os_tune.environ.get('VCLUST_ALIGN_TIMING')
     out = np.zeros((len(pairs), 6), dtype=np.int64)
     pending = []   # (device results list, row task lists)
+    work = []      # (kb, by_ref_subset, cacheable)
     for kb, by_ref in sorted(groups.items()):
+        gids = set(by_ref)
+        for ts in by_ref.values():
+            gids.update(qi for (qi, _p, _c) in ts)
+        if MAX_ARENA and len(gids) > MAX_ARENA:
+            work += [(kb, sub, False)
+                     for sub in _split_group(by_ref, max(MAX_ARENA,
+                                                         2 + K_QUERIES))]
+        else:
+            work.append((kb, by_ref, True))
+    for kb, by_ref, cacheable in work:
         gids = set(by_ref)
         for ts in by_ref.values():
             gids.update(qi for (qi, _p, _c) in ts)
         _t0 = _time.time()
         use_v3 = pipe == 'v3' and kb <= V3_MAX_BUCKET
-        b = idx.ensure_v3(kb, gids) if use_v3 else idx.ensure(kb, gids, C)
+        b = idx.ensure_v3(kb, gids, cache=cacheable) if use_v3 \
+            else idx.ensure(kb, gids, C, cache=cacheable)
         if _timing:
             print(f'[timing] ensure({kb}, {len(gids)}): '
                   f'{_time.time() - _t0:.1f}s', flush=True)

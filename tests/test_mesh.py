@@ -122,3 +122,31 @@ def test_sharded_align_matches_single_device():
     sharded = align_tpu.all2all_tpu(codes, pairs, mesh=mesh)
     np.testing.assert_array_equal(single, sharded)
     assert (single[:, 1] > 3000).all()   # near-identical mutants match
+
+
+def test_sharded_align_subarena_matches_unbounded():
+    """VCLUST_ALIGN_MAX_ARENA composes with the mesh path: a genome cap
+    smaller than the corpus splits groups onto disposable exact-member
+    sub-arenas, bounding per-device HBM, and must return bit-identical
+    aggregates (BASELINE.json million-contig configs; README
+    known-limitations)."""
+    from vclust_tpu.ops import align_tpu
+    mesh = _mesh()
+    rng = np.random.default_rng(4)
+    bases = [rng.integers(0, 4, 3000).astype(np.int8) for _ in range(3)]
+    codes = []
+    for i in range(12):
+        mut = bases[i % 3].copy()
+        mask = rng.random(len(mut)) < 0.05
+        mut[mask] = rng.integers(0, 4, mask.sum())
+        codes.append(mut)
+    pairs = np.array([(i, j) for i in range(12) for j in range(i + 1, 12)],
+                     dtype=np.int32)
+    full = align_tpu.all2all_tpu(codes, pairs, mesh=mesh)
+    old = align_tpu.MAX_ARENA
+    align_tpu.MAX_ARENA = 5
+    try:
+        capped = align_tpu.all2all_tpu(codes, pairs, mesh=mesh)
+    finally:
+        align_tpu.MAX_ARENA = old
+    np.testing.assert_array_equal(full, capped)

@@ -2,69 +2,52 @@
 
 A from-scratch, massively parallel reformulation of the LZ-ANI alignment
 stage (reference contract vclust.py:1058-1181; measure semantics
-SURVEY.md section 2.5.3), designed for the TPU's vector units rather than
-a translation of the sequential greedy parse. The per-pair work is a fixed
-dataflow of sorts, scans and full-lane row gathers over static shapes — no
-data-dependent control flow, so XLA compiles one program per length-bucket
-combination and hundreds of directed pairs run per dispatch.
+SURVEY.md section 2.5.3), designed for the TPU's matrix and vector units
+rather than a translation of the sequential greedy parse. Two front ends
+share one back half; both compile one program per length bucket and run
+hundreds of directed pairs per dispatch with no data-dependent control
+flow:
 
-The engine is driven by measured v5e primitive costs (round 3:
-tools/microbench_r3c/r3d.py; round 4: tools/microbench_r4.py +
-tools/profile_align.py): `lax.sort` costs ~2.8 ns per participating
-element REGARDLESS of payload count, random element gathers ~7-10
-ns/elem, native cumsum/cummax ~0.2 ns/elem, full-lane row gathers and
-elementwise chains ~free. The round-3 profile showed sorts at ~50% and
-the HBM-bound eval where-trees at ~35% of device time, so round 4
-minimizes sort PARTICIPANTS and eval BYTES:
+- **v3 (default, VCLUST_ALIGN_PIPE=v3)** — the round-5 MXU pipeline:
+  canonical-8-mer occupancy matmul for coarse candidate regions (top-2
+  per 128-wide query block), banded base-level eval via fused
+  shift-compare-accumulate for exact per-32-block diagonal election,
+  neighbor propagation and match flags read straight out of the band
+  arrays. Design rationale and constants at the "v3 front end" section
+  below.
+- **v2 (VCLUST_ALIGN_PIPE=v2, and buckets beyond V3_MAX_BUCKET)** — the
+  round-4 sort-join pipeline: stratified seed sampling (C per 32-block,
+  keyed on value so both join sides stay consistent), K-query
+  reference-amortized sort join with last-2-occurrence cummax, two-scale
+  sorted-vote diagonal election, eval via overlapped window rows, and a
+  two-phase sparse-screen/full-density rerun (all2all_tpu docstring).
 
-  1. **Stratified seed sampling** (round 4). Per 32-position fine block,
-     only the SEEDS_PER_BLOCK seeds with the smallest value hash join,
-     on both sides. Keying the selection on the k-mer value keeps
-     query/reference consistent (a matching seed survives on both sides
-     together — the minimizer argument), halving the join width at
-     C=16 with zero padding waste, and beating the round-3 stride grid
-     on accuracy because sampling has no phase-alignment loss.
-  2. **K-query reference-amortized sort join.** Each dispatch row holds
-     ONE reference and K queries of the same length bucket. Per strand,
-     sampled reference seed entries (8-mer value, position, previous-
-     occurrence position, packed) are sorted together with all K queries'
-     sampled seed values. A single native `cummax` over the packed
-     payloads then hands every query slot the last-2 reference
-     occurrences of its value with no gather and no per-pair re-sort of
-     the reference side. A second sort restores query order and yields
-     candidate diagonals ("votes").
-  3. **Two-scale block diagonal election**: per fine block the densest
-     diagonal cluster wins (sorted votes + shifted-window rank counts);
-     coarse blocks rescue sparse-vote regions. Argmax payloads are
-     carried by max-packing (count<<22 | inverted-value), not gathers.
-  4. **Match evaluation via overlapped window rows.** The reference is
-     pre-tiled into 64-wide rows overlapping by 32 (both strands); each
-     fine block row-gathers its window (full-lane gathers are ~free) and
-     a 5-step binary where-tree selects the 32-wide phase slice — 4x
-     fewer bytes per eval pass than round 3's 256/128 layout. Where
-     consecutive blocks elect different diagonals, the optimal switch
-     point is found by a prefix-sum argmax (max-packed).
-  5. **Region segmentation without gathers**: seed/anchor runs and the
-     approximate-extension window rule become bit-dilation shift chains;
-     segment starts/ends, acceptance (>= reg span with an opening anchor)
-     and per-segment coverage come from 8 native cummax scans (forward
-     ffill + reverse backfill with packed accept bits). With
-     keep_alignments, accepted segments compact via one extra sort into
-     per-alignment records (the --out-alignment contract).
-  6. **Two-phase screening** (all2all_tpu's default for >= 16 kb
-     buckets): every pair runs first at quarter-density sampling (C=8,
-     ~half the sort cost), and only the weak-homology band (tANI in
-     (RERUN_LO, RERUN_HI)), where sparse votes starve the election,
-     re-runs at full density — junk and near-saturated pairs, the bulk
-     of any all-vs-all grid, never pay the full join.
+The shared back half (_blocks_to_measures) turns per-block elected
+(strand, diagonal) assignments plus per-position match flags into the
+lz-ani measure aggregates: single-switch boundary refinement, region
+breaks, anchored-match chaining (msl/mal runs, aw/am density windows as
+bit-dilation chains), segmentation via hierarchical cummax scans, and —
+with keep_alignments — per-segment records in the --out-alignment
+contract.
 
-Semantics vs the exact engines (`native`/`py`, which are bit-identical to
-each other): same measures up to block-granularity approximations of
-anchor choice and approximate-extension boundaries. Accuracy is pinned by
-tests/test_align_tpu.py: tANI within the reference's own accuracy contract
-(±0.007 of simulated ground truth, reference test.py:456-477) and within a
-small tolerance of the exact engine on every golden pair. Use `tpu` for
-throughput at scale; use `native` for golden-parity per-alignment output.
+Primitive costs that shaped both designs, measured on v5e
+(tools/microbench_r4.py, tools/microbench_r5.py): `lax.sort` ~1.9-2.8
+ns/element regardless of payload count; gathers ~6.7 ns per ROW at any
+row width; scatters ~4.7-14 ns/element; `lax.cummax` ~0.116 ns/element
+(hierarchical log-shift scans: below measurement noise); elementwise
+chains and MXU matmuls effectively free by comparison. Every
+content-addressed lookup therefore costs O(ns) — the v2 sort join and
+its election sorts floor at ~450 us per directed 64 kb pair — while the
+MXU path moves candidate generation to the one unit with headroom.
+
+Semantics vs the exact engines (`native`/`py`, which are bit-identical
+to each other): same measures up to block-granularity approximations of
+anchor choice and approximate-extension boundaries. Accuracy is pinned
+by tests/test_align_tpu.py: tANI within the reference's own accuracy
+contract (±0.007 of simulated ground truth, reference test.py:456-477)
+and within a small tolerance of the exact engine on every golden pair.
+Use `tpu` for throughput at scale; use `native` for golden-parity
+per-alignment output.
 """
 
 import contextlib

@@ -38,28 +38,28 @@ def report(name, fn, *args):
 
 def main():
     def mm_int8_cast(i, q, r):
-        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+        M = jnp.einsum('bkqh,brh->bkqr', (q ^ (i & 1).astype(jnp.int8)).astype(jnp.bfloat16),
                        r.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         return jnp.max(M, axis=-1)
     report('einsum int8->bf16 cast + f32 max', mm_int8_cast, q8, r8)
 
     def mm_bf16(i, q, r):
-        M = jnp.einsum('bkqh,brh->bkqr', q + 0 * i.astype(jnp.bfloat16), r,
+        M = jnp.einsum('bkqh,brh->bkqr', q + (i & 1).astype(jnp.bfloat16), r,
                        preferred_element_type=jnp.float32)
         return jnp.max(M, axis=-1)
     report('einsum bf16 stored + f32 max', mm_bf16, qb, rb)
 
     def mm_int8_native(i, q, r):
         M = jax.lax.dot_general(
-            q + (0 * i).astype(jnp.int8), r,
+            q ^ (i & 1).astype(jnp.int8), r,
             (((3,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         return jnp.max(M, axis=-1)
     report('dot_general int8 s32 native + max', mm_int8_native, q8, r8)
 
     def mm_full_epilogue(i, q, r):
-        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+        M = jnp.einsum('bkqh,brh->bkqr', (q ^ (i & 1).astype(jnp.int8)).astype(jnp.bfloat16),
                        r.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32).astype(jnp.int32)
         r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
@@ -72,7 +72,7 @@ def main():
     report('current: int32 pack + top2 epilogue', mm_full_epilogue, q8, r8)
 
     def mm_f32_pack(i, q, r):
-        M = jnp.einsum('bkqh,brh->bkqr', q.astype(jnp.bfloat16) + 0 * i,
+        M = jnp.einsum('bkqh,brh->bkqr', (q ^ (i & 1).astype(jnp.int8)).astype(jnp.bfloat16),
                        r.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         r_inv = (jnp.float32(8191) - jnp.arange(NRB, dtype=jnp.float32)) \
@@ -90,7 +90,7 @@ def main():
     def mm_chunk(i, q, r):
         CH = 256
         best = None
-        qc = q.astype(jnp.bfloat16) + 0 * i
+        qc = (q ^ (i & 1).astype(jnp.int8)).astype(jnp.bfloat16)
         for lo in range(0, NRB, CH):
             Mc = jnp.einsum('bkqh,brh->bkqr', qc,
                             r[:, lo:lo + CH].astype(jnp.bfloat16),

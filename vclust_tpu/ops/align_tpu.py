@@ -984,6 +984,20 @@ V3_TBAND = _env_num('VCLUST_ALIGN_V3_TBAND', 17, 1, 32)
 #                    elect — the aw/am density bound (>= 53%), same
 #                    constant as EXT_MIN.
 V3_MAX_BUCKET = _env_num('VCLUST_ALIGN_V3_MAXB', 131072, 4096, 1 << 20)
+V3_CONT = _env_num('VCLUST_ALIGN_V3_CONT', 6, 0, 32)
+#                    continuity slack: a neighbor block's diagonal is
+#                    adopted when its band count comes within this many
+#                    matches of the block's own election — the greedy
+#                    parse strongly prefers CONTINUING a factor over
+#                    jumping to an equally-scoring duplicate copy.
+V3_RERUN_COV = _env_num('VCLUST_ALIGN_V3_COV', 0.995, 0.0, 1.0, cast=float)
+#                    hybrid accuracy net: pairs the v3 pipe leaves with
+#                    query or reference coverage below this (at tANI >
+#                    0.05) are structurally hard (heavy duplication /
+#                    mosaic rearrangement) and re-align on the v2
+#                    sort-join pipe at full density. Clean mutants cover
+#                    ~0.999 and junk stays below the tANI floor, so the
+#                    rerun set is the mosaic minority. 0 disables.
 MAX_ARENA = _env_num('VCLUST_ALIGN_MAX_ARENA', 0, 0, 1 << 30)
 #                    bound on genomes resident per bucket arena (0 = no
 #                    bound). When a group's genome set exceeds it, the
@@ -1031,8 +1045,11 @@ def _index_block_v3(fwd, rc, k: int, Lp: int):
     gi = jnp.arange(G, dtype=jnp.int32)[:, None]
     pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
     one = jnp.ones((G, Lp), jnp.int8)
-    qocc = jnp.zeros((G, NQB, V3_H), jnp.int8).at[
-        gi, pos // WQ, h].max(one, mode='drop')
+    # Query occupancy at HALF-block (WQ/2) granularity: stage 1 sums
+    # half pairs for the robust coarse argmax and uses the dissenting
+    # half's own argmax as the positional mosaic-rescue candidate.
+    qocc = jnp.zeros((G, 2 * NQB, V3_H), jnp.int8).at[
+        gi, pos // (WQ // 2), h].max(one, mode='drop')
     rocc = jnp.zeros((G, NRB, V3_H), jnp.int8).at[
         gi, pos // FINE, h].max(one, mode='drop')
 
@@ -1084,24 +1101,43 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
                                     g3['NQB'], g3['NRB'], g3['FPB'])
     NBF = Lq // FINE
 
-    # --- 1. stage-1 occupancy matmul + top-2 nonadjacent coarse argmax --
-    M = jnp.einsum('kqh,rh->kqr', qocc.astype(jnp.bfloat16),
-                   rocc.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
-    r_inv = jnp.int32(8191) - jnp.arange(NRB, dtype=jnp.int32)
-    packed = (M << 13) | r_inv
-    best = jnp.max(packed, axis=-1)                # count desc, r asc
+    # --- 1. stage-1 occupancy matmul + dissenting-half coarse argmax.
+    # NRB-chunked: the full score matrix (K x NQB x NRB int32) would be
+    # the fattest array in the program (~34 MB/row at the 64 kb bucket),
+    # capping dispatch size; chunked matmul+pack+max keeps only
+    # (K, 2*NQB, CH) alive and runs the native int8 MXU path (~343
+    # TFLOPs measured vs 175 bf16, tools/microbench_r5b.py). The matmul
+    # runs at HALF-block (WQ/2) granularity: candidate 1 per coarse
+    # block is the argmax of the half SUM (robust SNR for weak
+    # homology), candidate 2 the argmax of whichever half disagrees
+    # more — an inversion/translocation boundary inside a coarse block
+    # gives its halves different homes (the positional mosaic rescue).
+    # Ties prefer the LARGER ref block: the LZ parse links factors to
+    # the most recent occurrence of a repeat (v2's join kept the last-2
+    # occurrences for the same reason).
+    CH = min(NRB, 512)
+    c_sum, c_a, c_b = [], [], []
+    for lo in range(0, NRB, CH):
+        Mc = jax.lax.dot_general(
+            qocc, rocc[lo:lo + CH], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)     # (K, 2*NQB, CH)
+        Ma = Mc[:, 0::2]
+        Mb = Mc[:, 1::2]
+        rr_ = lo + jnp.arange(CH, dtype=jnp.int32)
+        c_sum.append(jnp.max(((Ma + Mb) << 13) | rr_, axis=-1))
+        if ncand > 1:
+            c_a.append(jnp.max((Ma << 13) | rr_, axis=-1))
+            c_b.append(jnp.max((Mb << 13) | rr_, axis=-1))
+    best = jnp.max(jnp.stack(c_sum, axis=-1), axis=-1)
     cnt1 = best >> 13                              # (K, NQB)
-    g1 = 8191 - (best & 8191)
+    g1 = best & 8191
     if ncand > 1:
-        # Second candidate from a genuinely different reference region
-        # (mosaic rescue: an inversion/translocation boundary inside a
-        # coarse block leaves its other half invisible to candidate 1).
-        near = jnp.abs(jnp.arange(NRB, dtype=jnp.int32)[None, None, :]
-                       - g1[..., None]) <= 4
-        best2 = jnp.max(jnp.where(near, -1, packed), axis=-1)
-        cnt2 = best2 >> 13
-        g2 = 8191 - (best2 & 8191)
+        ba = jnp.max(jnp.stack(c_a, axis=-1), axis=-1)
+        bb_ = jnp.max(jnp.stack(c_b, axis=-1), axis=-1)
+        ga, gb = ba & 8191, bb_ & 8191
+        use_a = jnp.abs(ga - g1) >= jnp.abs(gb - g1)
+        g2 = jnp.where(use_a, ga, gb)
+        cnt2 = jnp.where(use_a, ba, bb_) >> 13     # half-block count
     if _ABLATE == 'join':
         s = jnp.sum(cnt1, axis=-1) + jnp.sum(g1, axis=-1)
         return jnp.stack([s, s, s], axis=-1)
@@ -1146,32 +1182,35 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
     # --- 4. election across all bands; ties prefer candidate 1, then
     # the forward strand, then the smaller shift (v2's smallest-code
     # rule) ---------------------------------------------------------------
-    tinv = jnp.int32(511) - jnp.arange(BAND, dtype=jnp.int32)
+    tvec = jnp.arange(BAND, dtype=jnp.int32)   # count ties -> larger t
     bb = None
     for b_ in bands:
         tag = (2048 if b_['cand1'] else 0) | (0 if b_['is_rc'] else 1024)
-        p_ = jnp.max((b_['cnt'].astype(jnp.int32) << 12) | tag | tinv,
+        p_ = jnp.max((b_['cnt'].astype(jnp.int32) << 12) | tag | tvec,
                      axis=-1)
         bb = p_ if bb is None else jnp.maximum(bb, p_)
     cnt_best = bb >> 12
     C1 = (bb & 2048) > 0
     S = (bb & 1024) == 0                           # True = reverse strand
-    t_el = 511 - (bb & 511)
+    t_el = bb & 511
     base1 = jnp.where(S, bands[1]['base'], bands[0]['base'])
     if ncand > 1:
         base_sel = jnp.where(C1, base1,
                              jnp.where(S, bands[3]['base'],
                                        bands[2]['base']))
-        cnt1_f = jnp.where(C1, cnt1[:, fc], cnt2[:, fc])
+        # cand2 carries HALF-block counts; gate it against smin/2 (>= 3)
+        # so weak-homology halves are not starved out.
+        gate_ok = jnp.where(C1, cnt1[:, fc] >= smin,
+                            cnt2[:, fc] >= jnp.maximum(smin // 2, 3))
     else:
         base_sel = base1
-        cnt1_f = cnt1[:, fc]
+        gate_ok = cnt1[:, fc] >= smin
     D = base_sel + t_el
     # Election thresholds scale down on partial tail blocks (fewer than
     # FINE valid query positions can never reach the full-block bound).
     vq = jnp.sum(qok.astype(jnp.int32), axis=-1)
     tband_b = jnp.minimum(tband, jnp.maximum(4, (vq * tband) // FINE))
-    A = (cnt_best >= tband_b) & (cnt1_f >= smin)
+    A = (cnt_best >= tband_b) & gate_ok
     if _ABLATE == 'elect':
         s = jnp.sum(jnp.where(A, D, 0), axis=-1) + jnp.sum(cnt_best, -1)
         return jnp.stack([s, s, s], axis=-1)
@@ -1195,12 +1234,22 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
             Dn = shf(D, 1, jnp.int32(0))
             Sn = shf(S, 1, False)
             An = shf(A, 1, False)
-            cn = jnp.where(An, count_at(Sn, Dn), -1)
+            diff = (Dn != D) | (Sn != S)
+            cn = jnp.where(An & diff, count_at(Sn, Dn), -1)
+            # Tier 1: rescue — the neighbor diagonal clearly beats the
+            # block's own election (or the block elected nothing).
             better = (cn >= EXT_MIN) & (cn > cnt_cur + EXT_MARGIN)
-            D = jnp.where(better, Dn, D)
-            S = jnp.where(better, Sn, S)
+            # Tier 2: continuity — near-equal counts resolve toward the
+            # neighbor's chain like the greedy parse's factor extension
+            # (consumption-aware assignment: count-argmax alone picks
+            # duplicate copies that break the chain).
+            cont = A & (cn >= EXT_MIN) & (cn + V3_CONT >= cnt_cur) \
+                & (cn <= cnt_cur)
+            adopt = better | cont
+            D = jnp.where(adopt, Dn, D)
+            S = jnp.where(adopt, Sn, S)
             A = A | better
-            cnt_cur = jnp.where(better, cn, cnt_cur)
+            cnt_cur = jnp.where(adopt, cn, cnt_cur)
 
     # --- 6. final per-position flags from the windows (bands holding the
     # same (strand, diagonal) show the same reference bases, so OR-ing
@@ -1273,15 +1322,16 @@ def _make_sharded_group_run_v3(mesh, Lq, Lr, K, mqd, mrd, reg,
 
 
 def _batch_rows_v3(L: int, K: int) -> int:
-    """v3 dispatch rows per chunk: bound the stage-1 score intermediate
-    (K * NQB * NRB int32 per row — the fattest array) plus the band
-    count/window arrays to ~768 MB so HBM stays comfortable, capped at
-    256 rows (small buckets benefit from fatter dispatches: fewer
-    tunnel round-trips)."""
+    """v3 dispatch rows per chunk. With the NRB-chunked stage 1 the
+    fattest live arrays are the four candidate bands' count + window
+    int8 arrays (K * NBF * (BAND + WIN) each); bound those to ~6 GB and
+    cap at 512 rows — dispatch submission crosses the chip tunnel, so
+    fewer, fatter dispatches win (measured: the warm 'join' ablation is
+    dispatch-latency-bound, not device-bound)."""
     g3 = _v3_geom(L, L)
-    per_row = (K * g3['NQB'] * g3['NRB'] * 4
-               + 3 * K * (L // FINE) * (g3['BAND'] + g3['WIN']))
-    return max(1, min(256, (768 << 20) // per_row))
+    per_row = 4 * K * (L // FINE) * (g3['BAND'] + g3['WIN']) \
+        + K * g3['NQB'] * 512 * 8
+    return max(1, min(512, (6144 << 20) // per_row))
 
 
 def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
@@ -1330,10 +1380,53 @@ def all2all_tpu(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
     if seeds_per_block is not None:
         pipe = 'v2'      # explicit sampling density = v2 tuning path
     if pipe == 'v3':
-        # v3 always runs at full seed density — no sampling screen needed;
-        # buckets beyond V3_MAX_BUCKET fall back to v2 per group inside.
-        return _all2all_single(codes_list, pairs, params, idx, mesh,
-                               keep_alignments, SEEDS_PER_BLOCK, pipe='v3')
+        # v3 always runs at full seed density — no sampling screen
+        # needed; buckets beyond V3_MAX_BUCKET fall back to v2 per group
+        # inside. Structurally hard pairs (coverage gap at real
+        # homology) then re-align on the v2 pipe: the MXU pipe's two
+        # candidate regions per coarse block can miss third regions in
+        # heavy duplication mosaics, where v2's global vote election is
+        # the stronger (and slower) tool.
+        res = _all2all_single(codes_list, pairs, params, idx, mesh,
+                              keep_alignments, SEEDS_PER_BLOCK, pipe='v3')
+        if V3_RERUN_COV <= 0 or not len(pairs):
+            return res
+        out = res[0] if keep_alignments else res
+        lens_ = idx.lens.astype(np.int64)
+        lj = np.maximum(lens_[pairs[:, 1]], 1)   # q of direction 1
+        li = np.maximum(lens_[pairs[:, 0]], 1)
+        tani = (out[:, 1] + out[:, 4]) / (lj + li)
+        hard = (tani > 0.05) & ((out[:, 2] / lj < V3_RERUN_COV)
+                                | (out[:, 5] / li < V3_RERUN_COV))
+        if not hard.any():
+            return res
+        sub = _all2all_single(codes_list, pairs[hard], params, idx, mesh,
+                              keep_alignments, SEEDS_PER_BLOCK, pipe='v2')
+        if not keep_alignments:
+            out[hard] = sub
+            return out
+        out[hard] = sub[0]
+        rows_v3, counts_v3 = res[1]
+        rows_v2, counts_v2 = sub[1]
+        offs3 = np.zeros(len(counts_v3) + 1, dtype=np.int64)
+        np.cumsum(counts_v3, out=offs3[1:])
+        offs2 = np.zeros(len(counts_v2) + 1, dtype=np.int64)
+        np.cumsum(counts_v2, out=offs2[1:])
+        hard_idx = {int(p): k for k, p in enumerate(np.flatnonzero(hard))}
+        blocks, counts = [], np.zeros_like(counts_v3)
+        for prow in range(len(pairs)):
+            for d in range(2):
+                if prow in hard_idx:
+                    k = hard_idx[prow]
+                    lo, hi = offs2[2 * k + d], offs2[2 * k + d + 1]
+                    blocks.append(rows_v2[lo:hi])
+                else:
+                    lo, hi = offs3[2 * prow + d], offs3[2 * prow + d + 1]
+                    blocks.append(rows_v3[lo:hi])
+                counts[2 * prow + d] = len(blocks[-1])
+        rows_all = (np.concatenate(blocks) if blocks
+                    else np.empty((0, 6), np.int32))
+        return out, (rows_all, counts)
     single = (seeds_per_block is not None or keep_alignments
               or len(pairs) == 0
               or _os_tune.environ.get('VCLUST_ALIGN_TWO_PHASE') == '0')

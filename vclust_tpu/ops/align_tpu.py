@@ -1324,14 +1324,15 @@ def _make_sharded_group_run_v3(mesh, Lq, Lr, K, mqd, mrd, reg,
 def _batch_rows_v3(L: int, K: int) -> int:
     """v3 dispatch rows per chunk. With the NRB-chunked stage 1 the
     fattest live arrays are the four candidate bands' count + window
-    int8 arrays (K * NBF * (BAND + WIN) each); bound those to ~6 GB and
-    cap at 512 rows — dispatch submission crosses the chip tunnel, so
-    fewer, fatter dispatches win (measured: the warm 'join' ablation is
-    dispatch-latency-bound, not device-bound)."""
+    int8 arrays (K * NBF * (BAND + WIN) each); bound those to ~1.5 GB
+    and cap at 512 rows. Measured sweet spot (tools: chip B sweep,
+    round 5): ~32 rows at the 64 kb bucket — beyond that XLA's buffer
+    pressure erases the saved tunnel round-trips — and the full 512 for
+    contig buckets, where dispatch submission latency dominates."""
     g3 = _v3_geom(L, L)
     per_row = 4 * K * (L // FINE) * (g3['BAND'] + g3['WIN']) \
         + K * g3['NQB'] * 512 * 8
-    return max(1, min(512, (6144 << 20) // per_row))
+    return max(1, min(512, (1536 << 20) // per_row))
 
 
 def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
@@ -1548,8 +1549,7 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             gids.update(qi for (qi, _p, _c) in ts)
         if MAX_ARENA and len(gids) > MAX_ARENA:
             work += [(kb, sub, False)
-                     for sub in _split_group(by_ref, max(MAX_ARENA,
-                                                         2 + K_QUERIES))]
+                     for sub in _split_group(by_ref, max(MAX_ARENA, 2))]
         else:
             work.append((kb, by_ref, True))
     for kb, by_ref, cacheable in work:

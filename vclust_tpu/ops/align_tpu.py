@@ -1116,11 +1116,23 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
     # the most recent occurrence of a repeat (v2's join kept the last-2
     # occurrences for the same reason).
     CH = min(NRB, 512)
+    # Backend-dependent matmul dtype: the native s8xs8->s32 path is ~2x
+    # bf16 on the v5e MXU, but XLA *CPU* compiles batched int8 dots in
+    # time linear in the vmap width (~200 s per bucket program at B=33,
+    # measured) while bf16 einsums compile flat — and bf16 sums of 0/1
+    # occupancies are exact below 256.
+    use_i8 = jax.default_backend() != 'cpu'
     c_sum, c_a, c_b = [], [], []
     for lo in range(0, NRB, CH):
-        Mc = jax.lax.dot_general(
-            qocc, rocc[lo:lo + CH], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)     # (K, 2*NQB, CH)
+        if use_i8:
+            Mc = jax.lax.dot_general(
+                qocc, rocc[lo:lo + CH], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)     # (K, 2*NQB, CH)
+        else:
+            Mc = jnp.einsum(
+                'kqh,rh->kqr', qocc.astype(jnp.bfloat16),
+                rocc[lo:lo + CH].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
         Ma = Mc[:, 0::2]
         Mb = Mc[:, 1::2]
         rr_ = lo + jnp.arange(CH, dtype=jnp.int32)
@@ -1332,7 +1344,8 @@ def _batch_rows_v3(L: int, K: int) -> int:
     g3 = _v3_geom(L, L)
     per_row = 4 * K * (L // FINE) * (g3['BAND'] + g3['WIN']) \
         + K * g3['NQB'] * 512 * 8
-    return max(1, min(512, (1536 << 20) // per_row))
+    cap = 16 if jax.default_backend() == 'cpu' else 512
+    return max(1, min(cap, (1536 << 20) // per_row))
 
 
 def _batch_rows(Lq: int, Lr: int, K: int, C: int) -> int:
@@ -1580,12 +1593,24 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
         rlens = np.zeros(n_disp * B, np.int32)
         q_rows = np.zeros((n_disp * B, K), np.int32)
         qlens = np.zeros((n_disp * B, K), np.int32)
+        # Per-task placement arrays double as the vectorized scatter-back
+        # map (task -> output row/direction) for the fetch loop below.
+        t_w = []
+        t_i_ = []
+        t_prow = []
+        t_col = []
         for w, (ri, ts) in enumerate(rows):
             r_rows[w] = b['rows'][ri]
             rlens[w] = lens[ri]
-            for t_i, (qi, _prow, _col) in enumerate(ts):
+            for t_i, (qi, prow_, col_) in enumerate(ts):
                 q_rows[w, t_i] = b['rows'][qi]
                 qlens[w, t_i] = lens[qi]
+                t_w.append(w)
+                t_i_.append(t_i)
+                t_prow.append(prow_)
+                t_col.append(col_)
+        tmap = (np.asarray(t_w, np.int64), np.asarray(t_i_, np.int64),
+                np.asarray(t_prow, np.int64), np.asarray(t_col, np.int64))
         if use_v3:
             arena = (b['rocc'], b['roww_f'], b['roww_r'],
                      {'fwd': b['fwd'], 'qocc': b['qocc']})
@@ -1632,13 +1657,13 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
                         else results[-1].block_until_ready()
                     print(f'[timing] group({kb}) K={K} B={B} disp {d}: '
                           f'{_time.time() - _t0:.1f}s', flush=True)
-        pending.append((results, rows, B, K))
+        pending.append((results, rows, B, K, tmap))
     from ..parallel.distributed import fetch
     if _timing:
         _t0 = _time.time()
     task_alns = {}   # (prow, col) -> (n, 6) int32 records
     saturated = []   # pairs whose per-pair record cap (MAXSEG) filled up
-    for results, rows, B, K in pending:   # transfers post-dispatch
+    for results, rows, B, K, tmap in pending:   # transfers post-dispatch
         if keep_alignments:
             flat = np.concatenate(
                 [fetch(r[0]).reshape(-1, K, 3) for r in results])
@@ -1658,14 +1683,14 @@ def _all2all_single(codes_list: Sequence[np.ndarray], pairs: np.ndarray,
             else:
                 flat = np.concatenate(
                     [fetch(r).reshape(-1, K, 3) for r in results])
-        for w, (_ri, ts) in enumerate(rows):
-            for t_i, (_qi, prow, col) in enumerate(ts):
-                out[prow, col:col + 3] = flat[w, t_i]
-                if keep_alignments:
-                    rr = recs[w, t_i]
-                    task_alns[(prow, col)] = rr[rr[:, 0] >= 0]
-                    if rr[-1, 0] >= 0:
-                        saturated.append(tuple(pairs[prow]))
+        t_w, t_i_, t_prow, t_col = tmap
+        out.reshape(-1, 2, 3)[t_prow, t_col // 3] = flat[t_w, t_i_]
+        if keep_alignments:
+            for w, ti, prow, col in zip(t_w, t_i_, t_prow, t_col):
+                rr = recs[w, ti]
+                task_alns[(int(prow), int(col))] = rr[rr[:, 0] >= 0]
+                if rr[-1, 0] >= 0:
+                    saturated.append(tuple(pairs[prow]))
     if _timing:
         print(f'[timing] fetch loop: {_time.time() - _t0:.1f}s', flush=True)
     if not keep_alignments:

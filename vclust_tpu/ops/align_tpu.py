@@ -990,7 +990,7 @@ V3_CONT = _env_num('VCLUST_ALIGN_V3_CONT', 6, 0, 32)
 #                    matches of the block's own election — the greedy
 #                    parse strongly prefers CONTINUING a factor over
 #                    jumping to an equally-scoring duplicate copy.
-V3_RERUN_COV = _env_num('VCLUST_ALIGN_V3_COV', 0.995, 0.0, 1.0, cast=float)
+V3_RERUN_COV = _env_num('VCLUST_ALIGN_V3_COV', 0.997, 0.0, 1.0, cast=float)
 #                    hybrid accuracy net: pairs the v3 pipe leaves with
 #                    query or reference coverage below this (at tANI >
 #                    0.05) are structurally hard (heavy duplication /
@@ -998,6 +998,10 @@ V3_RERUN_COV = _env_num('VCLUST_ALIGN_V3_COV', 0.995, 0.0, 1.0, cast=float)
 #                    sort-join pipe at full density. Clean mutants cover
 #                    ~0.999 and junk stays below the tANI floor, so the
 #                    rerun set is the mosaic minority. 0 disables.
+#                    Threshold placement (example corpus, round 5): every
+#                    pair the v3 pipe gets wrong by > 0.005 tANI shows
+#                    min-coverage <= 0.9958, every pair within 0.004
+#                    shows >= 0.9977 — 0.997 splits the gap.
 MAX_ARENA = _env_num('VCLUST_ALIGN_MAX_ARENA', 0, 0, 1 << 30)
 #                    bound on genomes resident per bucket arena (0 = no
 #                    bound). When a group's genome set exceeds it, the
@@ -1124,18 +1128,19 @@ def _row_core_v3(rocc, roww_f, roww_r, rlen, q_fwd, qocc, qlens,
     use_i8 = jax.default_backend() != 'cpu'
     c_sum, c_a, c_b = [], [], []
     for lo in range(0, NRB, CH):
+        hi = min(lo + CH, NRB)
         if use_i8:
             Mc = jax.lax.dot_general(
-                qocc, rocc[lo:lo + CH], (((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)     # (K, 2*NQB, CH)
+                qocc, rocc[lo:hi], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)     # (K, 2*NQB, hi-lo)
         else:
             Mc = jnp.einsum(
                 'kqh,rh->kqr', qocc.astype(jnp.bfloat16),
-                rocc[lo:lo + CH].astype(jnp.bfloat16),
+                rocc[lo:hi].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32).astype(jnp.int32)
         Ma = Mc[:, 0::2]
         Mb = Mc[:, 1::2]
-        rr_ = lo + jnp.arange(CH, dtype=jnp.int32)
+        rr_ = jnp.arange(lo, hi, dtype=jnp.int32)
         c_sum.append(jnp.max(((Ma + Mb) << 13) | rr_, axis=-1))
         if ncand > 1:
             c_a.append(jnp.max((Ma << 13) | rr_, axis=-1))
